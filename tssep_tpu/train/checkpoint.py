@@ -1,0 +1,124 @@
+"""Checkpointing: named-parameter npz format + latest/best bookkeeping.
+
+Equivalent of the reference's trainer-side checkpoints
+(``ckpt_<it>.pth`` / ``ckpt_latest.pth`` / ``ckpt_best_loss.pth``,
+``experiment.py:224``, ``run_tssep.py:49``), re-designed for pytrees:
+
+- model params are stored under dotted path names
+  (``model/mask_estimator.post_net.linear2.weight``) so cross-task
+  warm-start transforms (VAD->SEP broadcast) address parameters by name;
+- optimizer state is stored as anonymous leaves restored into a freshly
+  initialized state of identical treedef;
+- ``ckpt_latest.npz`` / ``ckpt_best_loss.npz`` are symlinks.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+
+__all__ = ['save_checkpoint', 'load_checkpoint', 'params_to_named',
+           'named_to_params', 'latest_checkpoint']
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, 'key'):
+            parts.append(str(p.key))
+        elif hasattr(p, 'idx'):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return '.'.join(parts)
+
+
+def params_to_named(params) -> dict:
+    """Flatten a params pytree into {dotted_name: np.ndarray}."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    return {_path_str(path): np.asarray(leaf) for path, leaf in flat}
+
+
+def named_to_params(named: dict, template):
+    """Rebuild a pytree with ``template``'s structure from named leaves."""
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    flat = jax.tree_util.tree_flatten_with_path(template)[0]
+    names = [_path_str(path) for path, _ in flat]
+    missing = [n for n in names if n not in named]
+    if missing:
+        raise KeyError(f'Checkpoint is missing parameters: {missing}')
+    new_leaves = [np.asarray(named[n]) for n in names]
+    for name, new, old in zip(names, new_leaves, leaves):
+        if new.shape != tuple(old.shape):
+            raise ValueError(
+                f'Shape mismatch for {name}: ckpt {new.shape} vs model '
+                f'{tuple(old.shape)}')
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def save_checkpoint(ckpt_dir, iteration, params, opt_state=None, meta=None,
+                    best=False):
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    payload = {}
+    for name, arr in params_to_named(params).items():
+        payload[f'model/{name}'] = arr
+    if opt_state is not None:
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
+            payload[f'opt/{i:05d}'] = np.asarray(leaf)
+    meta = dict(meta or {})
+    meta['iteration'] = int(iteration)
+    payload['__meta__'] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+
+    path = ckpt_dir / f'ckpt_{iteration}.npz'
+    buf = io.BytesIO()
+    np.savez(buf, **payload)
+    tmp = path.with_suffix('.tmp')
+    tmp.write_bytes(buf.getvalue())
+    tmp.replace(path)
+
+    _relink(ckpt_dir / 'ckpt_latest.npz', path)
+    if best:
+        _relink(ckpt_dir / 'ckpt_best_loss.npz', path)
+    return path
+
+
+def _relink(link: Path, target: Path):
+    if link.is_symlink() or link.exists():
+        link.unlink()
+    link.symlink_to(target.name)
+
+
+def load_checkpoint(path, params_template=None, opt_state_template=None):
+    """Returns (named_params | params, opt_state | None, meta)."""
+    path = Path(path)
+    with np.load(path, allow_pickle=False) as z:
+        names = list(z.files)
+        meta = {}
+        if '__meta__' in names:
+            meta = json.loads(bytes(z['__meta__']).decode())
+        named = {n[len('model/'):]: z[n] for n in names
+                 if n.startswith('model/')}
+        opt_leaves = [z[n] for n in sorted(names) if n.startswith('opt/')]
+
+    params = (named_to_params(named, params_template)
+              if params_template is not None else named)
+    opt_state = None
+    if opt_state_template is not None and opt_leaves:
+        leaves, treedef = jax.tree_util.tree_flatten(opt_state_template)
+        if len(leaves) == len(opt_leaves):
+            cast = [np.asarray(new, dtype=np.asarray(old).dtype)
+                    if hasattr(old, 'dtype') else new
+                    for new, old in zip(opt_leaves, leaves)]
+            opt_state = jax.tree_util.tree_unflatten(treedef, cast)
+    return params, opt_state, meta
+
+
+def latest_checkpoint(ckpt_dir):
+    p = Path(ckpt_dir) / 'ckpt_latest.npz'
+    return p if p.exists() else None

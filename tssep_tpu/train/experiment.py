@@ -1,0 +1,106 @@
+"""Experiment/session orchestration (reference ``tssep/train/experiment.py``):
+resume detection, warm start, pre-flight test run, validation hook
+registration, log-file artifacts, then the trainer loop."""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+from tssep_tpu.config.configurable import Configurable, from_config
+from tssep_tpu.tasks.model import Model
+from tssep_tpu.train.init_ckpt import InitCheckPoint
+from tssep_tpu.train.trainer import Trainer
+from tssep_tpu.train.optimizer import Adam
+
+__all__ = ['Experiment']
+
+
+class Experiment(Configurable):
+    @classmethod
+    def finalize_dogmatic_config(cls, config):
+        virtual_minibatch_size = 12
+        config['trainer'] = {
+            'factory': Trainer,
+            'model': {'factory': Model},
+            'summary_trigger': [1000 // virtual_minibatch_size, 'iteration'],
+            'checkpoint_trigger': [12000 // virtual_minibatch_size, 'iteration'],
+            'stop_trigger': [5_000_000 // virtual_minibatch_size, 'iteration'],
+            'virtual_minibatch_size': virtual_minibatch_size,
+            'optimizer': {'factory': Adam, 'gradient_clipping': 10},
+        }
+        config['init_ckpt'] = {'factory': InitCheckPoint}
+
+    def __init__(self, trainer, train_batchsize=None,
+                 validation_batchsize=None, init_ckpt=None,
+                 init_ckpt_strict=True):
+        if isinstance(trainer, dict):
+            trainer = from_config(trainer)
+        if isinstance(init_ckpt, dict):
+            init_ckpt = from_config(init_ckpt)
+        self.trainer: Trainer = trainer
+        self.train_batchsize = train_batchsize
+        self.validation_batchsize = validation_batchsize
+        self.init_ckpt = init_ckpt if init_ckpt is not None else InitCheckPoint()
+        self.init_ckpt_strict = init_ckpt_strict
+
+    def load_model_state_dict(self, ckpt, strict=True):
+        return InitCheckPoint(init_ckpt=str(ckpt),
+                              strict=strict).load_model_state_dict(self, ckpt)
+
+    def add_log_files(self, **kwargs):
+        log_dir = self.trainer.storage_dir / 'log'
+        log_dir.mkdir(exist_ok=True, parents=True)
+        (log_dir / 'experiment.txt').write_text(repr(self))
+        model = self.trainer.model
+        (log_dir / 'model.txt').write_text(
+            f'{type(model).__name__}\n'
+            f'  fe: {model.fe!r}\n'
+            f'  mask_estimator params: {model.num_params():_}\n'
+            f'  enhancer: {model.enhancer.name}\n'
+            f'  loss: {model.loss.name}(target={model.loss.target!r})\n')
+        for k, v in kwargs.items():
+            (log_dir / f'{k}.txt').write_text(str(v))
+
+    def train(self):
+        trainer = self.trainer
+        checkpoint_path = trainer.checkpoint_dir / 'ckpt_latest.npz'
+        resume = checkpoint_path.is_file()
+
+        trainer.ensure_init()
+        if not resume:
+            self.init_ckpt(self)
+
+        # Pre-flight: sorted (longest-first) datasets so OOM hits now, not at
+        # hour 30 (reference model.py:199-219 rationale).
+        test_run_train_ds = trainer.model.prepare_train_dataset(
+            prefetch=False, sort=True, batch_size=1)
+        test_run_validation_ds = trainer.model.prepare_validate_dataset(
+            prefetch=False, sort=True, batch_size=self.validation_batchsize)
+        self.add_log_files(
+            test_run_train_dataset=repr(test_run_train_ds),
+            test_run_validation_dataset=repr(test_run_validation_ds),
+        )
+        print('Test run')
+        trainer.test_run(test_run_train_ds, test_run_validation_ds,
+                         virtual_minibatch_size=1)
+        del test_run_train_ds, test_run_validation_ds
+        print('Finished test run')
+
+        validation_ds = trainer.model.prepare_validate_dataset(
+            prefetch=True, batch_size=self.validation_batchsize)
+        trainer.register_validation_hook(validation_ds, max_checkpoints=None)
+
+        train_ds = trainer.model.prepare_train_dataset(
+            prefetch=True, batch_size=self.train_batchsize)
+
+        # Shape/parameter report (the reference's tracker table equivalent)
+        from tssep_tpu.train.track import model_report
+        self.add_log_files(
+            train_dataset=repr(train_ds),
+            validation_dataset=repr(validation_ds),
+            trackers=model_report(trainer.model, trainer.params),
+        )
+
+        print('Train')
+        return trainer.train(train_ds, resume=resume)
