@@ -1,0 +1,239 @@
+"""Long-recording eval driver: chunked mask estimation, diarization,
+segment-(parallel) beamforming, stitching, and metrics.
+
+The reference keeps its eval driver in the companion repo (tssep_data,
+per ``README.md:79-82``); the in-repo hooks it relies on are
+``Model.prepare_eval_dataset``, ``ClassicBF_np`` and the frame/sample VAD
+conversions — all of which exist here natively.  This module supplies the
+driver itself, TPU-first:
+
+1. the recording's STFT is computed once (optionally WPE-preprocessed);
+2. the mask estimator runs on overlapping fixed-size chunks batched together
+   (static shapes for jit; chunks are the data-parallel axis — shardable
+   over a mesh for multi-chip inference);
+3. chunk masks/VAD logits are stitched by overlap-discard;
+4. frame activity is thresholded + median-smoothed into per-speaker
+   ``ArrayInterval`` diarization;
+5. the offline beamformer (or mask-multiply) reconstructs each speaker, and
+   ``istft_vad`` maps activity back to samples.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tssep_tpu.eval.classic_bf import ClassicBF
+from tssep_tpu.eval.metrics import der
+from tssep_tpu.signal.intervals import ArrayInterval
+from tssep_tpu.signal.vad import istft_vad
+
+__all__ = ['ChunkedMaskEstimator', 'diarize_from_activity', 'EvalDriver',
+           'stitch_chunks', 'median_smooth']
+
+
+def _chunk_starts(num_frames, chunk, hop):
+    if num_frames <= chunk:
+        return [0]
+    starts = list(range(0, num_frames - chunk + 1, hop))
+    if starts[-1] + chunk < num_frames:
+        starts.append(num_frames - chunk)
+    return starts
+
+
+def stitch_chunks(chunks, starts, num_frames, chunk, hop, time_axis):
+    """Overlap-discard stitching: interior chunks contribute their center."""
+    out = None
+    filled = np.zeros(num_frames, dtype=bool)
+    margin = (chunk - hop) // 2
+    for arr, s in zip(chunks, starts):
+        arr = np.asarray(arr)
+        if out is None:
+            shape = list(arr.shape)
+            shape[time_axis] = num_frames
+            out = np.zeros(shape, dtype=arr.dtype)
+        lo = 0 if s == 0 else margin
+        hi = chunk if s + chunk >= num_frames else chunk - margin
+        idx_out = [slice(None)] * out.ndim
+        idx_in = [slice(None)] * out.ndim
+        idx_out[time_axis] = slice(s + lo, s + hi)
+        idx_in[time_axis] = slice(lo, hi)
+        out[tuple(idx_out)] = arr[tuple(idx_in)]
+        filled[s + lo:s + hi] = True
+    assert filled.all(), 'stitching left gaps'
+    return out
+
+
+def median_smooth(activity, kernel=11):
+    """Median filter along the last axis (odd kernel)."""
+    if kernel <= 1:
+        return activity
+    import scipy.ndimage
+    return scipy.ndimage.median_filter(
+        activity.astype(np.float32), size=(1,) * (activity.ndim - 1) + (kernel,)
+    ) > 0.5
+
+
+def diarize_from_activity(activity, threshold=0.5, smooth_kernel=11,
+                          min_frames=0):
+    """(spk, frames) scores -> list of per-speaker ArrayIntervals."""
+    act = np.asarray(activity) > threshold
+    act = median_smooth(act, smooth_kernel)
+    out = []
+    for row in act:
+        ai = ArrayInterval(row)
+        if min_frames:
+            ai = ArrayInterval(
+                [iv for iv in ai.normalized_intervals
+                 if iv[1] - iv[0] >= min_frames], shape=len(row))
+        out.append(ai)
+    return out
+
+
+@dataclasses.dataclass
+class ChunkedMaskEstimator:
+    """Run the mask estimator over a long recording in fixed-size chunks.
+
+    chunk/hop in STFT frames; chunks are batched (the batch axis can be
+    sharded over 'data' for multi-chip segment-parallel inference).
+    """
+
+    model: object
+    chunk_frames: int = 316          # = 5 s at 16 kHz / 1024/256 STFT
+    hop_frames: int = 158
+    batch_chunks: int = 8
+
+    def __post_init__(self):
+        self._jit_cache = {}
+
+    def _forward_fn(self):
+        if 'fwd' not in self._jit_cache:
+            model = self.model
+
+            def fwd(params, feats, aux, key):
+                out = model.mask_estimator.apply(
+                    params['mask_estimator'], feats, aux, rng=key,
+                    training=False)
+                return out.mask, (out.logit if out.logit is not None
+                                  else out.vad_logit[..., None])
+
+            self._jit_cache['fwd'] = jax.jit(fwd)
+        return self._jit_cache['fwd']
+
+    def __call__(self, params, observation_stft, aux, key=None):
+        """observation_stft: (mic, T, F) complex (numpy ok); aux: (spk, A).
+
+        Returns (masks (spk, nmask, T, F) float32, activity (spk, T)).
+        """
+        obs_ref = np.asarray(observation_stft)[0]  # reference channel
+        num_frames = obs_ref.shape[0]
+        chunk = min(self.chunk_frames, num_frames)
+        hop = min(self.hop_frames, chunk)
+        starts = _chunk_starts(num_frames, chunk, hop)
+
+        feats_full = np.asarray(
+            self.model.fe.stft_to_feature(obs_ref), dtype=np.float32)
+        aux = jnp.asarray(np.asarray(aux, dtype=np.float32))
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        fwd = self._forward_fn()
+        mask_chunks, logit_chunks = [], []
+        for i in range(0, len(starts), self.batch_chunks):
+            batch_starts = starts[i:i + self.batch_chunks]
+            feats = np.stack([feats_full[s:s + chunk] for s in batch_starts])
+            pad = self.batch_chunks - len(batch_starts)
+            if pad and len(starts) > self.batch_chunks:
+                feats = np.concatenate(
+                    [feats, np.repeat(feats[-1:], pad, axis=0)])
+            aux_b = jnp.broadcast_to(aux[None], (feats.shape[0],) + aux.shape)
+            masks, logits = fwd(params, jnp.asarray(feats), aux_b, key)
+            masks = np.asarray(masks)[:len(batch_starts)]
+            logits = np.asarray(logits)[:len(batch_starts)]
+            mask_chunks.extend(masks)
+            logit_chunks.extend(logits)
+
+        masks = stitch_chunks(mask_chunks, starts, num_frames, chunk, hop,
+                              time_axis=-2)
+        logits = stitch_chunks(logit_chunks, starts, num_frames, chunk, hop,
+                               time_axis=-2)
+        # activity score: sigmoid of freq-mean logit, nmask squeezed
+        activity = 1 / (1 + np.exp(-np.squeeze(logits, axis=-3).mean(-1)))
+        return masks, activity
+
+
+@dataclasses.dataclass
+class EvalDriver:
+    """End-to-end long-recording evaluation."""
+
+    model: object
+    enhancer: ClassicBF = None
+    chunk_frames: int = 316
+    hop_frames: int = 158
+    vad_threshold: float = 0.5
+    smooth_kernel: int = 11
+    min_frames: int = 3
+
+    def __post_init__(self):
+        if self.enhancer is None:
+            self.enhancer = ClassicBF()
+        self.chunked = ChunkedMaskEstimator(
+            self.model, chunk_frames=self.chunk_frames,
+            hop_frames=self.hop_frames)
+
+    def run_recording(self, params, observation, aux, num_samples=None,
+                      beamform=None):
+        """observation: (mic, samples) float; aux: (spk, A).
+
+        Returns dict with masks, activity, dia (frame ArrayIntervals),
+        sample_dia, and (optionally beamformed) per-speaker time signals.
+        """
+        observation = np.asarray(observation)
+        if observation.ndim == 1:
+            observation = observation[None]
+        if num_samples is None:
+            num_samples = observation.shape[-1]
+        obs_stft = self.model.fe.stft(observation)  # (mic, T, F)
+
+        masks, activity = self.chunked(params, obs_stft, aux)
+        dia = diarize_from_activity(
+            activity, self.vad_threshold, self.smooth_kernel, self.min_frames)
+
+        if beamform is None:
+            beamform = observation.shape[0] >= 6
+        if beamform:
+            est_stft = self.enhancer(masks, np.asarray(obs_stft), dia)
+        else:
+            # single/few channels: masked reference channel
+            est_stft = (np.asarray(obs_stft)[0][None]
+                        * np.squeeze(masks, axis=-3))
+            gate = np.stack([np.asarray(ai, dtype=np.float64) for ai in dia])
+            est_stft = est_stft * gate[..., None]
+
+        est_time = self.model.fe.istft(est_stft, num_samples=num_samples)
+        sample_dia = istft_vad(dia, self.model.fe.window_length,
+                               self.model.fe.shift, self.model.fe.fading)
+        return {
+            'masks': masks,
+            'activity': activity,
+            'dia': dia,
+            'sample_dia': sample_dia,
+            'stft_estimate': est_stft,
+            'time_estimate': est_time,
+        }
+
+    def score_der(self, result, reference_vad_samples):
+        """DER of the estimated frame activity vs sample-domain reference."""
+        from tssep_tpu.signal.vad import stft_vad
+        ref_frames = stft_vad(np.asarray(reference_vad_samples),
+                              self.model.fe.window_length,
+                              self.model.fe.shift, self.model.fe.fading)
+        hyp = np.stack([np.asarray(ai, dtype=bool) for ai in result['dia']])
+        ref = np.asarray(ref_frames, dtype=bool)
+        frames = min(ref.shape[-1], hyp.shape[-1])
+        return der(ref[..., :frames], hyp[..., :frames],
+                   frame_shift=self.model.fe.shift
+                   / getattr(self.model.reader, 'sample_rate', 16000))
