@@ -14,6 +14,7 @@ step (STFT -> features -> 8-speaker BLSTM mask estimator (ts_vad stacking)
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
@@ -27,7 +28,7 @@ def main():
     from tssep_tpu.train.optimizer import Adam
 
     clip_seconds = 5
-    batch = 8
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
 
     model = Model.new({
         'fe': {'size': 1024, 'shift': 256, 'window': 'hann'},
@@ -89,7 +90,7 @@ def main():
             pass
 
     print(json.dumps({
-        'metric': 'train audio-seconds/s/chip (flagship 8-spk TS-SEP, 5s clips, batch 8)',
+        'metric': f'train audio-seconds/s/chip (flagship 8-spk TS-SEP, 5s clips, batch {batch})',
         'value': round(value, 2),
         'unit': 'audio-s/s/chip',
         'vs_baseline': round(vs_baseline, 3),

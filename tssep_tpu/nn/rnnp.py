@@ -21,6 +21,7 @@ TPU design (this is the throughput-critical recurrence):
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,16 @@ import numpy as np
 from tssep_tpu.nn.init import torch_linear_init, torch_lstm_init
 
 __all__ = ['RNNP', 'lstm_init', 'blstm_apply']
+
+#: Steps per scan iteration: amortizes per-step loop overhead into larger
+#: fused blocks (XLA). Tunable via env for benchmarking.
+DEFAULT_UNROLL = int(os.environ.get('TSSEP_LSTM_UNROLL', '8'))
+
+#: Rematerialize BLSTM layers in the backward pass (recompute instead of
+#: saving all per-step activations). Costs ~1 extra forward, saves O(T*B*4H)
+#: HBM per layer — enables much larger batches (HBM is the binding
+#: constraint; see jax.checkpoint docs).
+DEFAULT_REMAT = os.environ.get('TSSEP_LSTM_REMAT', '1') != '0'
 
 
 def lstm_init(key, input_size: int, hidden_size: int, bidirectional=True):
@@ -61,15 +72,12 @@ def _lstm_scan(xg, w_hh, h0, c0, reverse: bool):
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    _, ys = jax.lax.scan(step, (h0, c0), xg, reverse=reverse)
+    _, ys = jax.lax.scan(step, (h0, c0), xg, reverse=reverse,
+                         unroll=DEFAULT_UNROLL)
     return ys
 
 
-def blstm_apply(params, x, *, hidden_size: int, bidirectional=True):
-    """Apply one (bidirectional) LSTM layer.
-
-    x: (B, T, I) -> (B, T, 2H) (or (B, T, H) unidirectional).
-    """
+def _blstm_apply_impl(params, x, hidden_size: int, bidirectional: bool):
     B, T, _ = x.shape
     H = hidden_size
 
@@ -88,6 +96,22 @@ def blstm_apply(params, x, *, hidden_size: int, bidirectional=True):
     if bidirectional:
         out = jnp.concatenate([out, direction('_reverse', True)], axis=-1)
     return out
+
+
+_blstm_apply_remat = jax.checkpoint(_blstm_apply_impl,
+                                    static_argnums=(2, 3))
+
+
+def blstm_apply(params, x, *, hidden_size: int, bidirectional=True,
+                remat=None):
+    """Apply one (bidirectional) LSTM layer.
+
+    x: (B, T, I) -> (B, T, 2H) (or (B, T, H) unidirectional).
+    """
+    if remat is None:
+        remat = DEFAULT_REMAT
+    fn = _blstm_apply_remat if remat else _blstm_apply_impl
+    return fn(params, x, hidden_size, bidirectional)
 
 
 @dataclasses.dataclass(frozen=True)
