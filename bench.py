@@ -62,17 +62,19 @@ def main():
 
     step = jax.jit(train_step, donate_argnums=(0, 1))
 
-    # Warmup / compile
+    # Warmup / compile.  NOTE: a host transfer (float()) is the only
+    # reliable full sync on relay-style TPU runtimes where
+    # block_until_ready can return before the computation retires.
     key = jax.random.PRNGKey(1)
     params, opt_state, loss = step(params, opt_state, arrays, key)
-    jax.block_until_ready(loss)
+    float(loss)
 
     n_steps = 20
     t0 = time.perf_counter()
     for i in range(n_steps):
         key = jax.random.fold_in(key, i)
         params, opt_state, loss = step(params, opt_state, arrays, key)
-    jax.block_until_ready(loss)
+    float(loss)  # forces the whole dependent chain
     elapsed = time.perf_counter() - t0
 
     audio_seconds = n_steps * batch * clip_seconds

@@ -105,3 +105,38 @@ def test_eval_driver_end_to_end():
     score = driver.score_der(result, np.asarray(ex['vad']))
     assert 0 <= score['der']
     assert np.isfinite(np.asarray(result['time_estimate'])).all()
+
+
+def test_chunked_mask_estimator_on_mesh():
+    """Segment-parallel inference: chunk batch sharded over a 'data' mesh."""
+    import jax
+    from tssep_tpu.dist.mesh import make_mesh
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip('needs >=4 devices')
+    mesh = make_mesh(4, model_parallel=1)
+    model = _tiny_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    ds = model.prepare_validate_dataset(prefetch=False)
+    ex = next(iter(ds))
+    obs_stft = np.asarray(model.fe.stft(np.asarray(ex['observation'])))
+    cme = ChunkedMaskEstimator(model, chunk_frames=40, hop_frames=20,
+                               batch_chunks=4, mesh=mesh)
+    masks, activity = cme(params, obs_stft, np.asarray(ex['auxInput']))
+    # identical to unsharded
+    cme2 = ChunkedMaskEstimator(model, chunk_frames=40, hop_frames=20,
+                                batch_chunks=4)
+    masks2, activity2 = cme2(params, obs_stft, np.asarray(ex['auxInput']))
+    np.testing.assert_allclose(masks, masks2, atol=1e-5)
+    np.testing.assert_allclose(activity, activity2, atol=1e-5)
+
+
+def test_host_shard_dataset():
+    from tssep_tpu.data.pipeline import new
+    from tssep_tpu.dist.multihost import host_shard_dataset
+    ds = new(list(range(10)))
+    shards = [list(host_shard_dataset(ds, 3, i)) for i in range(3)]
+    assert shards[0] == [0, 3, 6, 9]
+    assert shards[1] == [1, 4, 7]
+    assert shards[2] == [2, 5, 8]
+    assert sum(len(s) for s in shards) == 10

@@ -105,9 +105,17 @@ class ChunkedMaskEstimator:
     chunk_frames: int = 316          # = 5 s at 16 kHz / 1024/256 STFT
     hop_frames: int = 158
     batch_chunks: int = 8
+    #: Optional jax.sharding.Mesh: chunks are the data-parallel axis of
+    #: long-recording inference — sharded over 'data', one jit, XLA inserts
+    #: nothing (embarrassingly parallel) and each chip handles its chunks.
+    mesh: object = None
 
     def __post_init__(self):
         self._jit_cache = {}
+        if self.mesh is not None:
+            n = self.mesh.shape.get('data', 1)
+            self.batch_chunks = max(self.batch_chunks, n)
+            self.batch_chunks -= self.batch_chunks % n or 0
 
     def _forward_fn(self):
         if 'fwd' not in self._jit_cache:
@@ -146,11 +154,20 @@ class ChunkedMaskEstimator:
             batch_starts = starts[i:i + self.batch_chunks]
             feats = np.stack([feats_full[s:s + chunk] for s in batch_starts])
             pad = self.batch_chunks - len(batch_starts)
-            if pad and len(starts) > self.batch_chunks:
+            if pad and (len(starts) > self.batch_chunks
+                        or self.mesh is not None):
                 feats = np.concatenate(
                     [feats, np.repeat(feats[-1:], pad, axis=0)])
+            feats = jnp.asarray(feats)
             aux_b = jnp.broadcast_to(aux[None], (feats.shape[0],) + aux.shape)
-            masks, logits = fwd(params, jnp.asarray(feats), aux_b, key)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                sh = NamedSharding(self.mesh, P('data'))
+                feats = jax.device_put(feats, NamedSharding(
+                    self.mesh, P('data', None, None)))
+                aux_b = jax.device_put(aux_b, NamedSharding(
+                    self.mesh, P('data', None, None)))
+            masks, logits = fwd(params, feats, aux_b, key)
             masks = np.asarray(masks)[:len(batch_starts)]
             logits = np.asarray(logits)[:len(batch_starts)]
             mask_chunks.extend(masks)

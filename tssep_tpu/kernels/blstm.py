@@ -1,0 +1,254 @@
+"""Pallas fused LSTM cell (TPU).
+
+The scan-based recurrence (``tssep_tpu/nn/rnnp.py``) launches one XLA fusion
+per unrolled block and round-trips carries through HBM at loop boundaries.
+This kernel keeps the hidden/cell state *and* the recurrent weights resident
+in VMEM for the whole sequence, fusing the per-step hidden matmul (MXU) with
+the gate nonlinearities (VPU):
+
+- grid = (T,), which the TPU executes sequentially; ``h``/``c`` live in VMEM
+  scratch persisting across grid steps;
+- the input projections ``xg = x @ W_ih^T + b`` stay outside (one large MXU
+  matmul, already optimal through XLA);
+- Pallas streams the per-step ``xg`` block in and ``h``/``c`` out with
+  automatic double buffering;
+- backward is a second kernel walking the grid in reverse, recomputing the
+  gates from the saved state sequences and accumulating ``dW_hh`` in VMEM —
+  wired up via ``jax.custom_vjp``;
+- the reversed direction of a BLSTM is realized by time-flipping the inputs/
+  outputs outside the kernel (cheap XLA ops, differentiable), so only the
+  forward-order kernels exist.
+
+Gate order i, f, g, o (torch layout), matching the rest of the framework.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['lstm_fused', 'blstm_apply_fused']
+
+
+# ---------------------------------------------------------------------------
+# Kernels (forward time order only)
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(xg_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr, *, hidden):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    h = h_scr[:]
+    c = c_scr[:]
+    gates = xg_ref[0] + jnp.dot(h, whh_ref[:],
+                                preferred_element_type=jnp.float32)
+    i = jax.nn.sigmoid(gates[:, :hidden])
+    f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+    c = f * c + i * g
+    h = o * jnp.tanh(c)
+    h_scr[:] = h
+    c_scr[:] = c
+    hs_ref[0] = h
+    cs_ref[0] = c
+
+
+def _bwd_kernel(xg_ref, whh_ref, hprev_ref, cprev_ref, c_ref, dhs_ref,
+                dxg_ref, dwhh_ref, dh_scr, dc_scr, *, hidden):
+    step = pl.program_id(1)          # walks t = T-1 .. 0 via index maps
+    bblk = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+
+    @pl.when(jnp.logical_and(step == 0, bblk == 0))
+    def _():
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+
+    h_prev = hprev_ref[0]
+    c_prev = cprev_ref[0]
+    c_t = c_ref[0]
+
+    gates = xg_ref[0] + jnp.dot(h_prev, whh_ref[:],
+                                preferred_element_type=jnp.float32)
+    i = jax.nn.sigmoid(gates[:, :hidden])
+    f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+
+    dh = dh_scr[:] + dhs_ref[0]
+    tanh_c = jnp.tanh(c_t)
+    do = dh * tanh_c
+    dc = dc_scr[:] + dh * o * (1 - tanh_c * tanh_c)
+    di = dc * g
+    df = dc * c_prev
+    dg = dc * i
+    dgates = jnp.concatenate([
+        di * i * (1 - i),
+        df * f * (1 - f),
+        dg * (1 - g * g),
+        do * o * (1 - o),
+    ], axis=1)
+
+    dxg_ref[0] = dgates
+    dwhh_ref[:] += jnp.dot(h_prev.T, dgates,
+                           preferred_element_type=jnp.float32)
+    dh_scr[:] = jnp.dot(dgates, whh_ref[:].T,
+                        preferred_element_type=jnp.float32)
+    dc_scr[:] = dc * f
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers
+# ---------------------------------------------------------------------------
+
+#: Per-grid-step batch block: bounds the kernel's VMEM working set (the
+#: batch axis is embarrassingly parallel; t stays the inner, sequential
+#: grid axis so the recurrence carry in scratch is per batch block).
+BATCH_BLOCK = int(__import__("os").environ.get("TSSEP_PALLAS_BATCH_BLOCK", "128"))
+
+
+def _pad_batch(x, multiple=8):
+    n = x.shape[1]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x, n
+    return jnp.pad(x, [(0, 0), (0, pad), (0, 0)]), n
+
+
+def _batch_block(b):
+    return min(b, BATCH_BLOCK)
+
+
+def _core_fwd_impl(xg, w_hh_t):
+    seq_len, b, gh = xg.shape
+    hidden = w_hh_t.shape[0]
+    bb = _batch_block(b)
+    nb = b // bb
+    hs, cs = pl.pallas_call(
+        functools.partial(_fwd_kernel, hidden=hidden),
+        grid=(nb, seq_len),
+        in_specs=[
+            pl.BlockSpec((1, bb, gh), lambda i, t: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, gh), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bb, hidden), lambda i, t: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, hidden), lambda i, t: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((seq_len, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((seq_len, b, hidden), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((bb, hidden), jnp.float32),
+        ],
+    )(xg, w_hh_t)
+    return hs, cs
+
+
+@jax.custom_vjp
+def _lstm_core(xg, w_hh_t):
+    """xg: (T, B, 4H) -> hs: (T, B, H), forward time order."""
+    hs, _ = _core_fwd_impl(xg, w_hh_t)
+    return hs
+
+
+def _lstm_core_fwd(xg, w_hh_t):
+    hs, cs = _core_fwd_impl(xg, w_hh_t)
+    return hs, (xg, w_hh_t, hs, cs)
+
+
+def _lstm_core_bwd(residuals, dhs):
+    xg, w_hh_t, hs, cs = residuals
+    seq_len, b, hidden = hs.shape
+    gh = xg.shape[-1]
+
+    zeros = jnp.zeros((1, b, hidden), jnp.float32)
+    hs_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)   # index t -> h_{t-1}
+    cs_prev = jnp.concatenate([zeros, cs[:-1]], axis=0)   # index t -> c_{t-1}
+
+    bb = _batch_block(b)
+    nb = b // bb
+    rev = lambda i, s: ((seq_len - 1 - s), i, 0)  # noqa: E731
+    dxg, dwhh = pl.pallas_call(
+        functools.partial(_bwd_kernel, hidden=hidden),
+        grid=(nb, seq_len),
+        in_specs=[
+            pl.BlockSpec((1, bb, gh), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, gh), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, hidden), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bb, gh), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, gh), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((seq_len, b, gh), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, gh), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((bb, hidden), jnp.float32),
+        ],
+    )(xg, w_hh_t, hs_prev, cs_prev, cs, dhs)
+    return dxg, dwhh
+
+
+_lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
+
+
+def lstm_fused(xg, w_hh_t, reverse=False):
+    """Fused LSTM over time.
+
+    xg: (T, B, 4H) input projections (+ biases); w_hh_t: (H, 4H).
+    Returns hs: (T, B, H).
+    """
+    xg = xg.astype(jnp.float32)
+    multiple = BATCH_BLOCK if xg.shape[1] >= BATCH_BLOCK else 8
+    xg, real_b = _pad_batch(xg, multiple)
+    if reverse:
+        xg = jnp.flip(xg, axis=0)
+    hs = _lstm_core(xg, w_hh_t.astype(jnp.float32))
+    if reverse:
+        hs = jnp.flip(hs, axis=0)
+    return hs[:, :real_b]
+
+
+def blstm_apply_fused(params, x, *, hidden_size, bidirectional=True):
+    """Drop-in BLSTM layer using the fused kernel (same contract as
+    ``tssep_tpu.nn.rnnp.blstm_apply``)."""
+    def direction(suffix, reverse):
+        w_ih = params['weight_ih_l0' + suffix]
+        w_hh = params['weight_hh_l0' + suffix]
+        bias = params['bias_ih_l0' + suffix] + params['bias_hh_l0' + suffix]
+        xg = x @ w_ih.T + bias
+        xg = jnp.swapaxes(xg, 0, 1)
+        ys = lstm_fused(xg, w_hh.T, reverse)
+        return jnp.swapaxes(ys, 0, 1).astype(x.dtype)
+
+    out = direction('', False)
+    if bidirectional:
+        out = jnp.concatenate([out, direction('_reverse', True)], axis=-1)
+    return out

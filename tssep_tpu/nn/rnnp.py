@@ -102,15 +102,34 @@ _blstm_apply_remat = jax.checkpoint(_blstm_apply_impl,
                                     static_argnums=(2, 3))
 
 
+#: Recurrence backend: 'scan' (lax.scan + unroll) or 'pallas' (fused VMEM
+#: cell kernel with custom VJP, tssep_tpu/kernels/blstm.py).
+DEFAULT_IMPL = os.environ.get('TSSEP_LSTM_IMPL', 'scan')
+
+
+def _blstm_pallas(params, x, hidden_size, bidirectional):
+    from tssep_tpu.kernels.blstm import blstm_apply_fused
+    return blstm_apply_fused(params, x, hidden_size=hidden_size,
+                             bidirectional=bidirectional)
+
+
+_blstm_pallas_remat = jax.checkpoint(_blstm_pallas, static_argnums=(2, 3))
+
+
 def blstm_apply(params, x, *, hidden_size: int, bidirectional=True,
-                remat=None):
+                remat=None, impl=None):
     """Apply one (bidirectional) LSTM layer.
 
     x: (B, T, I) -> (B, T, 2H) (or (B, T, H) unidirectional).
     """
     if remat is None:
         remat = DEFAULT_REMAT
-    fn = _blstm_apply_remat if remat else _blstm_apply_impl
+    if impl is None:
+        impl = DEFAULT_IMPL
+    if impl == 'pallas':
+        fn = _blstm_pallas_remat if remat else _blstm_pallas
+    else:
+        fn = _blstm_apply_remat if remat else _blstm_apply_impl
     return fn(params, x, hidden_size, bidirectional)
 
 
