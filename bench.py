@@ -28,7 +28,7 @@ def main():
     from tssep_tpu.train.optimizer import Adam
 
     clip_seconds = 5
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
 
     model = Model.new({
         'fe': {'size': 1024, 'shift': 256, 'window': 'hann'},

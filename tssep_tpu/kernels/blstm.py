@@ -116,7 +116,7 @@ def _bwd_kernel(xg_ref, whh_ref, hprev_ref, cprev_ref, c_ref, dhs_ref,
 #: Per-grid-step batch block: bounds the kernel's VMEM working set (the
 #: batch axis is embarrassingly parallel; t stays the inner, sequential
 #: grid axis so the recurrence carry in scratch is per batch block).
-BATCH_BLOCK = int(__import__("os").environ.get("TSSEP_PALLAS_BATCH_BLOCK", "128"))
+BATCH_BLOCK = int(__import__("os").environ.get("TSSEP_PALLAS_BATCH_BLOCK", "256"))
 
 
 def _pad_batch(x, multiple=8):

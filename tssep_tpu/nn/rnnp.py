@@ -102,9 +102,23 @@ _blstm_apply_remat = jax.checkpoint(_blstm_apply_impl,
                                     static_argnums=(2, 3))
 
 
-#: Recurrence backend: 'scan' (lax.scan + unroll) or 'pallas' (fused VMEM
-#: cell kernel with custom VJP, tssep_tpu/kernels/blstm.py).
-DEFAULT_IMPL = os.environ.get('TSSEP_LSTM_IMPL', 'scan')
+#: Recurrence backend: 'scan' (lax.scan + unroll), 'pallas' (fused VMEM
+#: cell kernel with custom VJP, tssep_tpu/kernels/blstm.py), or 'auto'
+#: (pallas on TPU — measured ~2x the scan path — scan elsewhere).
+DEFAULT_IMPL = os.environ.get('TSSEP_LSTM_IMPL', 'auto')
+
+_auto_impl_cache = None
+
+
+def _resolve_impl(impl):
+    global _auto_impl_cache
+    if impl != 'auto':
+        return impl
+    if _auto_impl_cache is None:
+        _auto_impl_cache = (
+            'pallas' if jax.default_backend() not in ('cpu', 'gpu')
+            else 'scan')
+    return _auto_impl_cache
 
 
 def _blstm_pallas(params, x, hidden_size, bidirectional):
@@ -126,6 +140,7 @@ def blstm_apply(params, x, *, hidden_size: int, bidirectional=True,
         remat = DEFAULT_REMAT
     if impl is None:
         impl = DEFAULT_IMPL
+    impl = _resolve_impl(impl)
     if impl == 'pallas':
         fn = _blstm_pallas_remat if remat else _blstm_pallas
     else:
