@@ -48,8 +48,9 @@ def _fwd_kernel(xg_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr, *, hidden):
 
     h = h_scr[:]
     c = c_scr[:]
-    gates = xg_ref[0] + jnp.dot(h, whh_ref[:],
-                                preferred_element_type=jnp.float32)
+    gates = xg_ref[0].astype(jnp.float32) + jnp.dot(
+        h.astype(whh_ref.dtype), whh_ref[:],
+        preferred_element_type=jnp.float32)
     i = jax.nn.sigmoid(gates[:, :hidden])
     f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
     g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
@@ -58,8 +59,8 @@ def _fwd_kernel(xg_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr, *, hidden):
     h = o * jnp.tanh(c)
     h_scr[:] = h
     c_scr[:] = c
-    hs_ref[0] = h
-    cs_ref[0] = c
+    hs_ref[0] = h.astype(hs_ref.dtype)
+    cs_ref[0] = c.astype(cs_ref.dtype)
 
 
 def _bwd_kernel(xg_ref, whh_ref, hprev_ref, cprev_ref, c_ref, dhs_ref,
@@ -77,11 +78,11 @@ def _bwd_kernel(xg_ref, whh_ref, hprev_ref, cprev_ref, c_ref, dhs_ref,
         dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
 
     h_prev = hprev_ref[0]
-    c_prev = cprev_ref[0]
-    c_t = c_ref[0]
+    c_prev = cprev_ref[0].astype(jnp.float32)
+    c_t = c_ref[0].astype(jnp.float32)
 
-    gates = xg_ref[0] + jnp.dot(h_prev, whh_ref[:],
-                                preferred_element_type=jnp.float32)
+    gates = xg_ref[0].astype(jnp.float32) + jnp.dot(
+        h_prev, whh_ref[:], preferred_element_type=jnp.float32)
     i = jax.nn.sigmoid(gates[:, :hidden])
     f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
     g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
@@ -101,10 +102,10 @@ def _bwd_kernel(xg_ref, whh_ref, hprev_ref, cprev_ref, c_ref, dhs_ref,
         do * o * (1 - o),
     ], axis=1)
 
-    dxg_ref[0] = dgates
-    dwhh_ref[:] += jnp.dot(h_prev.T, dgates,
+    dxg_ref[0] = dgates.astype(dxg_ref.dtype)
+    dwhh_ref[:] += jnp.dot(h_prev.T.astype(dgates.dtype), dgates,
                            preferred_element_type=jnp.float32)
-    dh_scr[:] = jnp.dot(dgates, whh_ref[:].T,
+    dh_scr[:] = jnp.dot(dgates, whh_ref[:].T.astype(dgates.dtype),
                         preferred_element_type=jnp.float32)
     dc_scr[:] = dc * f
 
@@ -112,6 +113,13 @@ def _bwd_kernel(xg_ref, whh_ref, hprev_ref, cprev_ref, c_ref, dhs_ref,
 # ---------------------------------------------------------------------------
 # Host-side wrappers
 # ---------------------------------------------------------------------------
+
+#: Storage dtype for the streamed tensors (xg, hs, cs, dxg) — bf16 halves
+#: the HBM traffic of the recurrence and runs the MXU at its native rate;
+#: carries and all accumulation stay f32.
+import os as _os
+STORAGE_DTYPE = {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}[
+    _os.environ.get('TSSEP_LSTM_DTYPE', 'float32')]
 
 #: Per-grid-step batch block: bounds the kernel's VMEM working set (the
 #: batch axis is embarrassingly parallel; t stays the inner, sequential
@@ -133,6 +141,7 @@ def _batch_block(b):
 
 def _core_fwd_impl(xg, w_hh_t):
     seq_len, b, gh = xg.shape
+    sdt = xg.dtype
     hidden = w_hh_t.shape[0]
     bb = _batch_block(b)
     nb = b // bb
@@ -152,8 +161,8 @@ def _core_fwd_impl(xg, w_hh_t):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((seq_len, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((seq_len, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((seq_len, b, hidden), sdt),
+            jax.ShapeDtypeStruct((seq_len, b, hidden), sdt),
         ],
         scratch_shapes=[
             pltpu.VMEM((bb, hidden), jnp.float32),
@@ -180,9 +189,11 @@ def _lstm_core_bwd(residuals, dhs):
     seq_len, b, hidden = hs.shape
     gh = xg.shape[-1]
 
-    zeros = jnp.zeros((1, b, hidden), jnp.float32)
+    sdt = xg.dtype
+    zeros = jnp.zeros((1, b, hidden), hs.dtype)
     hs_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)   # index t -> h_{t-1}
     cs_prev = jnp.concatenate([zeros, cs[:-1]], axis=0)   # index t -> c_{t-1}
+    dhs = dhs.astype(jnp.float32)
 
     bb = _batch_block(b)
     nb = b // bb
@@ -205,7 +216,7 @@ def _lstm_core_bwd(residuals, dhs):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((seq_len, b, gh), jnp.float32),
+            jax.ShapeDtypeStruct((seq_len, b, gh), sdt),
             jax.ShapeDtypeStruct((hidden, gh), jnp.float32),
         ],
         scratch_shapes=[
@@ -213,7 +224,7 @@ def _lstm_core_bwd(residuals, dhs):
             pltpu.VMEM((bb, hidden), jnp.float32),
         ],
     )(xg, w_hh_t, hs_prev, cs_prev, cs, dhs)
-    return dxg, dwhh
+    return dxg.astype(jnp.float32), dwhh
 
 
 _lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
@@ -225,15 +236,15 @@ def lstm_fused(xg, w_hh_t, reverse=False):
     xg: (T, B, 4H) input projections (+ biases); w_hh_t: (H, 4H).
     Returns hs: (T, B, H).
     """
-    xg = xg.astype(jnp.float32)
+    xg = xg.astype(STORAGE_DTYPE)
     multiple = BATCH_BLOCK if xg.shape[1] >= BATCH_BLOCK else 8
     xg, real_b = _pad_batch(xg, multiple)
     if reverse:
         xg = jnp.flip(xg, axis=0)
-    hs = _lstm_core(xg, w_hh_t.astype(jnp.float32))
+    hs = _lstm_core(xg, w_hh_t.astype(STORAGE_DTYPE))
     if reverse:
         hs = jnp.flip(hs, axis=0)
-    return hs[:, :real_b]
+    return hs[:, :real_b].astype(jnp.float32)
 
 
 def blstm_apply_fused(params, x, *, hidden_size, bidirectional=True):
