@@ -104,3 +104,74 @@ def test_sorted_testrun_dataset(toy_model):
                                          batch_size=1)
     exs = list(ds)
     assert len(exs) == 10
+
+
+def test_explicit_vad_joint_loss_end_to_end():
+    """SignalAndVADSigmoidBCE + explicit_vad head: forward, loss, grads."""
+    import jax.numpy as jnp
+    model = Model.new({
+        'fe': {'size': 64, 'shift': 32, 'window_length': 64},
+        'reader': {'sample_rate': 32, 'aux_size': 33},
+        'mask_estimator': {'units': 2, 'projs': 3, 'combination': 'mul',
+                           'ts_vad': 8, 'aux_net_output_size': 33,
+                           'explicit_vad': True, 'output_resolution': 'tf'},
+        'loss': {'factory':
+                 'tssep_tpu.tasks.losses.SignalAndVADSigmoidBCE',
+                 'target': 'Vad',
+                 'signal_loss': {'factory': 'tssep_tpu.tasks.losses.LogMAE',
+                                 'target':
+                                 'speaker_reverberation_early_ch0'}},
+    })
+    assert model.loss.targets() == ('Vad', 'speaker_reverberation_early_ch0')
+    params = model.init_params(jax.random.PRNGKey(0))
+    ds = model.prepare_train_dataset(prefetch=False, batch_size=2)
+    ex = next(iter(ds))
+    arrays = {k: v for k, v in ex.items()
+              if hasattr(v, 'shape') or k == 'reference_channel'}
+    out = model.forward(params, arrays, rng=jax.random.PRNGKey(1))
+    assert out.vad_logit is not None and out.logit is None
+    loss_sum, _ = model.loss_fn(params, arrays, rng=jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss_sum))
+    g = jax.grad(lambda p: model.loss_fn(
+        p, arrays, rng=jax.random.PRNGKey(1))[0])(params)
+    total = sum(float(jnp.sum(jnp.abs(x)))
+                for x in jax.tree_util.tree_leaves(g))
+    assert total > 0
+
+
+def test_aux_net_framewise_path():
+    """AuxNet: per-speaker enrollment *sequences* -> embeddings, end to end
+    through the mask estimator."""
+    import jax.numpy as jnp
+    from tssep_tpu.nn.estimator import AuxNet, MaskEstimator
+    me = MaskEstimator(
+        idim=20, odim=20, units=4, projs=5, combination='cat',
+        aux_net=AuxNet(20), aux_net_output_size=20)
+    params = me.init(jax.random.PRNGKey(0))
+    xs = jnp.asarray(np.random.randn(2, 15, 20), dtype=jnp.float32)
+    aux_seq = jnp.asarray(np.random.randn(2, 3, 9, 20), dtype=jnp.float32)
+    lengths = jnp.asarray([[9, 5, 9], [3, 9, 9]])
+    out = me.apply(params, xs, aux_seq, aux_lengths=lengths,
+                   rng=jax.random.PRNGKey(1))
+    assert out.mask.shape == (2, 3, 1, 15, 20)
+    assert out.embedding.shape == (2, 3, 1, 20)
+
+
+def test_nothing_and_dummy_enhancer():
+    import jax.numpy as jnp
+    from tssep_tpu.tasks.enhancer import Dummy, Nothing
+    masks = jnp.ones((2, 3, 1, 10, 5))
+    obs = jnp.ones((2, 1, 10, 5), dtype=jnp.complex64)
+    ex = {'Observation': obs, 'reference_channel': 0}
+    out = Nothing()(masks, ex, None)
+    assert out.shape == (2, 1, 10, 5)
+    assert Dummy()(masks, ex, None) is None
+
+
+def test_save_wavs(tmp_path):
+    from tssep_tpu.eval.driver import save_wavs
+    result = {'time_estimate': np.random.RandomState(0).randn(2, 1000) * 0.1}
+    paths = save_wavs(result, tmp_path, sample_rate=8000, example_id='ex0')
+    assert len(paths) == 2
+    for p in paths:
+        assert p.exists() and p.stat().st_size > 2000

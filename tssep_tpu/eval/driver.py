@@ -254,3 +254,33 @@ class EvalDriver:
         return der(ref[..., :frames], hyp[..., :frames],
                    frame_shift=self.model.fe.shift
                    / getattr(self.model.reader, 'sample_rate', 16000))
+
+
+def save_wavs(result, out_dir, sample_rate=16000, example_id='recording'):
+    """Write per-speaker estimates as WAV files (native codec when built,
+    numpy fallback otherwise).  Returns the written paths."""
+    from pathlib import Path
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    est = np.asarray(result['time_estimate'], dtype=np.float32)
+    paths = []
+    for spk, sig in enumerate(est):
+        path = out_dir / f'{example_id}_spk{spk}.wav'
+        try:
+            from tssep_tpu.runtime import native
+            native.wav_write(path, sig, sample_rate)
+        except Exception:  # noqa: BLE001 - pure-python fallback
+            _wav_write_py(path, sig, sample_rate)
+        paths.append(path)
+    return paths
+
+
+def _wav_write_py(path, sig, sample_rate):
+    import struct
+    sig = np.clip(np.asarray(sig, dtype=np.float32), -1, 0.999969)
+    pcm = (sig * 32768.0).astype('<i2').tobytes()
+    with open(path, 'wb') as f:
+        f.write(b'RIFF' + struct.pack('<I', 36 + len(pcm)) + b'WAVE')
+        f.write(b'fmt ' + struct.pack('<IHHIIHH', 16, 1, 1, sample_rate,
+                                      sample_rate * 2, 2, 16))
+        f.write(b'data' + struct.pack('<I', len(pcm)) + pcm)
