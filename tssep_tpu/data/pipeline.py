@@ -156,19 +156,24 @@ class ShuffleDataset(Dataset):
 
 
 class CatchDataset(Dataset):
+    """Drops examples whose map chain raises (a raising generator would be
+    closed, so the map-fn chain is applied item-wise here)."""
+
     def __init__(self, ds, exceptions=(Exception,)):
         self.ds = ds
         self.exceptions = tuple(exceptions)
 
     def __iter__(self):
-        it = iter(self.ds)
-        while True:
+        base, fns = PrefetchDataset._decompose(self.ds)
+        for item in base:
             try:
-                yield next(it)
-            except StopIteration:
-                return
+                for fn in fns:
+                    item = fn(item)
             except self.exceptions as e:
-                logger.warning('Dropped example after %s: %s', type(e).__name__, e)
+                logger.warning('Dropped example after %s: %s',
+                               type(e).__name__, e)
+                continue
+            yield item
 
     def __len__(self):
         return len(self.ds)

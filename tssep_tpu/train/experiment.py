@@ -95,11 +95,24 @@ class Experiment(Configurable):
             prefetch=True, batch_size=self.train_batchsize)
 
         # Shape/parameter report (the reference's tracker table equivalent)
-        from tssep_tpu.train.track import model_report
+        from tssep_tpu.train.track import cost_analysis_report, model_report
+        cost_report = ''
+        try:
+            ex = next(iter(trainer.model.prepare_validate_dataset(
+                prefetch=False, batch_size=self.validation_batchsize)))
+            from tssep_tpu.train.trainer import _array_part
+            arrays, _ = _array_part(ex)
+            import jax
+            cost_report = cost_analysis_report(
+                trainer._eval_fn, trainer.params, arrays,
+                jax.random.PRNGKey(0))
+        except Exception as e:  # noqa: BLE001 - report is best-effort
+            cost_report = f'cost report unavailable: {e}'
         self.add_log_files(
             train_dataset=repr(train_ds),
             validation_dataset=repr(validation_ds),
             trackers=model_report(trainer.model, trainer.params),
+            cost=cost_report,
         )
 
         print('Train')
