@@ -175,3 +175,13 @@ def test_save_wavs(tmp_path):
     assert len(paths) == 2
     for p in paths:
         assert p.exists() and p.stat().st_size > 2000
+
+
+def test_shape_report(toy_model):
+    from tssep_tpu.train.track import shape_report
+    params = toy_model.init_params(jax.random.PRNGKey(0))
+    ds = toy_model.prepare_validate_dataset(prefetch=False)
+    ex = next(iter(ds))
+    report = shape_report(toy_model, params, ex)
+    assert 'pre_net' in report and 'mask' in report
+    assert '(1, 316, 513)' in report  # feature shape

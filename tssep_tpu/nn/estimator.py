@@ -44,6 +44,11 @@ class Output:
     vad_logit: typing.Any = None
 
 
+jax.tree_util.register_dataclass(
+    Output, data_fields=['mask', 'logit', 'embedding', 'vad_mask',
+                         'vad_logit'], meta_fields=[])
+
+
 class LinearAux(Configurable):
     """Linear projection of the auxiliary embeddings (reference ``net.py:19``)."""
 

@@ -47,6 +47,12 @@ class ForwardOutput:
     vad_logit: typing.Any = None
 
 
+jax.tree_util.register_dataclass(
+    ForwardOutput,
+    data_fields=['mask', 'logit', 'embedding', 'stft_estimate',
+                 'time_estimate', 'vad_mask', 'vad_logit'], meta_fields=[])
+
+
 #: example keys that are transferred to the device (everything else stays host)
 _DEVICE_KEY_BASE = ('Input', 'observation', 'auxInput', 'framewise_embeddings')
 

@@ -68,3 +68,54 @@ def cost_analysis_report(jitted_fn, *example_args) -> str:
         return '\n'.join(lines)
     except Exception as e:  # noqa: BLE001
         return f'cost_analysis unavailable: {type(e).__name__}: {e}'
+
+
+def shape_report(model, params, example) -> str:
+    """Per-stage activation-shape table for the mask estimator (the
+    reference's ShapeTracker equivalent, built with jax.eval_shape — no
+    compute)."""
+    import jax
+    import jax.numpy as jnp
+
+    me = model.mask_estimator
+    rows = []
+
+    def add(name, shape_like):
+        if hasattr(shape_like, 'shape'):
+            rows.append((name, tuple(int(d) for d in shape_like.shape)))
+
+    obs = example.get('observation')
+    if obs is None:
+        return 'shape report needs an example with observation'
+    obs = jnp.asarray(obs)
+    if obs.ndim == 2:
+        obs = obs[None]
+    add('observation', obs)
+    Obs = jax.eval_shape(model.fe.stft, obs)
+    add('Observation (stft)', Obs)
+    feat = jax.eval_shape(
+        lambda o: model.fe.stft_to_feature(o[..., 0, :, :]), Obs)
+    add('Input (features)', feat)
+
+    f32 = jax.ShapeDtypeStruct(feat.shape, jnp.float32)
+    if me.pre_net is not None:
+        pre = jax.eval_shape(
+            lambda p, x: me.pre_net.apply(p, x), params['mask_estimator']['pre_net'], f32)
+        add('pre_net', pre)
+
+    aux = example.get('auxInput')
+    if aux is not None:
+        aux = jnp.asarray(aux)
+        if aux.ndim == 2:
+            aux = aux[None]
+        add('auxInput', aux)
+        out = jax.eval_shape(
+            lambda p, x, a: me.apply(p, x, a),
+            params['mask_estimator'], f32,
+            jax.ShapeDtypeStruct(aux.shape, jnp.float32))
+        add('mask', out.mask)
+        if out.logit is not None:
+            add('logit', out.logit)
+
+    width = max(len(n) for n, _ in rows)
+    return '\n'.join(f'{n:<{width}}  {s}' for n, s in rows)

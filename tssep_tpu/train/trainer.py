@@ -284,3 +284,22 @@ class Trainer(Configurable):
         if not (self.checkpoint_dir / f'ckpt_{self.iteration}.npz').exists():
             self.save()
         return self.iteration
+
+
+class profile_trace:
+    """Context manager: capture a jax.profiler trace when TSSEP_PROFILE is
+    set (or a dir is passed); view with tensorboard or xprof."""
+
+    def __init__(self, logdir=None):
+        import os
+        self.logdir = logdir or os.environ.get('TSSEP_PROFILE')
+
+    def __enter__(self):
+        if self.logdir:
+            jax.profiler.start_trace(str(self.logdir))
+        return self
+
+    def __exit__(self, *exc):
+        if self.logdir:
+            jax.profiler.stop_trace()
+        return False
