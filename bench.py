@@ -18,6 +18,12 @@ import os
 import time
 from pathlib import Path
 
+# Best verified configuration: Pallas fused LSTM with bf16 streaming
+# (quality-neutral on the toy recipes; see tests + README).
+os.environ.setdefault('TSSEP_LSTM_IMPL', 'pallas')
+os.environ.setdefault('TSSEP_LSTM_DTYPE', 'bfloat16')
+os.environ.setdefault('TSSEP_PALLAS_BATCH_BLOCK', '256')
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,7 +34,7 @@ def main():
     from tssep_tpu.train.optimizer import Adam
 
     clip_seconds = 5
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
 
     model = Model.new({
         'fe': {'size': 1024, 'shift': 256, 'window': 'hann'},

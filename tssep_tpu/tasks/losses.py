@@ -91,9 +91,30 @@ class Loss(Configurable):
         raise NotImplementedError
 
 
+def masked_time_stats(elementwise, sample_mask):
+    """Masked mean over time then sum over speakers.
+
+    elementwise: (..., spk, T); sample_mask: broadcastable (..., 1, T) with
+    1 on valid samples.
+    """
+    counts = jnp.maximum(sample_mask.sum(axis=-1), 1.0)
+    return (elementwise * sample_mask).sum(axis=-1) / counts
+
+
 class TimeDomain(Loss):
     def from_ex_out(self, ex, out, model, summary=None):
-        return self(out.time_estimate, ex[self.target])
+        estimate = out.time_estimate
+        target = ex[self.target]
+        mask = ex.get('_sample_mask')
+        if mask is not None and not self.pit:
+            per_spk = masked_time_stats(self.elementwise(estimate, target),
+                                        mask)
+            return self.reduce_time_masked(per_spk)
+        return self(estimate, target)
+
+    def reduce_time_masked(self, per_spk):
+        """Combine per-speaker masked time means (override per loss)."""
+        return per_spk.sum(axis=-1)
 
 
 class STFTDomain(Loss):
@@ -134,6 +155,9 @@ class LogMAE(TimeDomain):
 
     def reduce_pit(self, summed):
         return jnp.log10(summed)
+
+    def reduce_time_masked(self, per_spk):
+        return jnp.log10(per_spk.sum(axis=-1))
 
 
 class FreqMSE(STFTDomain):
@@ -211,6 +235,12 @@ class VADSigmoidBCE(Loss):
         # traceable); see Model.host_prepare.
         target = ex[self.target]
         estimate = jnp.squeeze(out.logit, axis=-3)  # drop the nmask axis
+        frame_mask = ex.get('_frame_mask')
+        if frame_mask is not None and not self.pit:
+            est = jnp.mean(estimate, axis=-1)
+            bce = _bce_with_logits(est, target) * frame_mask
+            counts = jnp.maximum(frame_mask.sum(axis=-1), 1.0)
+            return (bce.sum(axis=-1) / counts).mean(axis=-1)
         return self(estimate, target)
 
 

@@ -54,7 +54,8 @@ jax.tree_util.register_dataclass(
 
 
 #: example keys that are transferred to the device (everything else stays host)
-_DEVICE_KEY_BASE = ('Input', 'observation', 'auxInput', 'framewise_embeddings')
+_DEVICE_KEY_BASE = ('Input', 'observation', 'auxInput', 'framewise_embeddings',
+                    '_sample_mask', '_frame_mask')
 
 
 class Model(Configurable):
@@ -223,19 +224,58 @@ class Model(Configurable):
             ds = ds.map(lambda ex: self.example_to_device(ex, None))
         return ds
 
+    #: Padded (bucketed) lengths are rounded up to this many STFT shifts so
+    #: jit sees few distinct shapes across batches of variable-length data.
+    pad_shift_multiple = 32
+
+    def _pad_time(self, arrays, target_len):
+        return [np.pad(a, [(0, 0)] * (a.ndim - 1)
+                       + [(0, target_len - a.shape[-1])])
+                for a in arrays]
+
     def collate_fn(self, exs):
-        """List of example dicts -> batch dict of stacked arrays."""
+        """List of example dicts -> batch dict of stacked arrays.
+
+        Variable-length examples are zero-padded on the time axis (rounded
+        up to a shift multiple for shape bucketing) and loss masks
+        (``_sample_mask`` / ``_frame_mask``) are attached; the losses then
+        average over valid samples/frames only.
+        """
+        time_keys = {'observation', 'vad', *self.loss.targets(lower=True)}
+        lengths = [e['observation'].shape[-1] for e in exs
+                   if 'observation' in e]
+        ragged = len(set(lengths)) > 1
+        if ragged:
+            quantum = self.fe.shift * self.pad_shift_multiple
+            target_len = -(-max(lengths) // quantum) * quantum
+            num_frames = [self.fe.num_frames(n) for n in lengths]
+            padded_frames = self.fe.num_frames(target_len)
+
         keys = exs[0].keys()
         ex = {}
         for k in keys:
             vals = [e[k] for e in exs]
             if isinstance(vals[0], np.ndarray):
+                if ragged and k in time_keys:
+                    vals = self._pad_time(vals, target_len)
+                elif ragged and k == 'Vad':
+                    vals = self._pad_time(vals, padded_frames)
                 try:
                     ex[k] = np.stack(vals)
                 except ValueError:
-                    ex[k] = vals  # ragged
+                    ex[k] = vals  # ragged non-time key
             else:
                 ex[k] = vals
+
+        if ragged:
+            ex['num_samples'] = np.asarray(lengths)
+            sm = np.zeros((len(exs), 1, target_len), dtype=np.float32)
+            fm = np.zeros((len(exs), 1, padded_frames), dtype=np.float32)
+            for i, (n, nf) in enumerate(zip(lengths, num_frames)):
+                sm[i, 0, :n] = 1
+                fm[i, 0, :nf] = 1
+            ex['_sample_mask'] = sm
+            ex['_frame_mask'] = fm
         # Stack frame-VAD targets
         if 'Vad' in ex and isinstance(ex['Vad'], list) and \
                 isinstance(ex['Vad'][0], np.ndarray):
