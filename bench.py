@@ -23,6 +23,7 @@ from pathlib import Path
 os.environ.setdefault('TSSEP_LSTM_IMPL', 'pallas')
 os.environ.setdefault('TSSEP_LSTM_DTYPE', 'bfloat16')
 os.environ.setdefault('TSSEP_PALLAS_BATCH_BLOCK', '256')
+os.environ.setdefault('TSSEP_COMPUTE_DTYPE', 'bfloat16')
 
 import jax
 import jax.numpy as jnp

@@ -251,9 +251,10 @@ def blstm_apply_fused(params, x, *, hidden_size, bidirectional=True):
     """Drop-in BLSTM layer using the fused kernel (same contract as
     ``tssep_tpu.nn.rnnp.blstm_apply``)."""
     def direction(suffix, reverse):
-        w_ih = params['weight_ih_l0' + suffix]
+        w_ih = params['weight_ih_l0' + suffix].astype(x.dtype)
         w_hh = params['weight_hh_l0' + suffix]
-        bias = params['bias_ih_l0' + suffix] + params['bias_hh_l0' + suffix]
+        bias = (params['bias_ih_l0' + suffix]
+                + params['bias_hh_l0' + suffix]).astype(x.dtype)
         xg = x @ w_ih.T + bias
         xg = jnp.swapaxes(xg, 0, 1)
         ys = lstm_fused(xg, w_hh.T, reverse)

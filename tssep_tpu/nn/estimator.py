@@ -21,6 +21,7 @@ control flow; speaker permutations use static index tensors + gathers.
 from __future__ import annotations
 
 import dataclasses
+import os
 import typing
 
 import jax
@@ -113,6 +114,12 @@ class AuxNet(Configurable):
         t = h.shape[-2]
         mask = (jnp.arange(t) < lengths[..., None]).astype(h.dtype)
         return (h * mask[..., None]).sum(axis=-2) / lengths[..., None].astype(h.dtype)
+
+
+#: Activation dtype for the conditioning + post-net chain (the (B, S, T, F)
+#: intermediates dominate HBM traffic); carries/losses stay f32.
+COMPUTE_DTYPE = {'float32': None, 'bfloat16': 'bfloat16'}[
+    os.environ.get('TSSEP_COMPUTE_DTYPE', 'float32')]
 
 
 def _permutation_trial_indices(speakers: int, trials: int):
@@ -284,6 +291,10 @@ class MaskEstimator(Configurable):
             xs = self.pre_net.apply(params['pre_net'], xs, rng=rng,
                                     training=training)
 
+        if COMPUTE_DTYPE is not None:
+            xs = xs.astype(COMPUTE_DTYPE)
+            aux = aux.astype(COMPUTE_DTYPE)
+
         # 4. conditioning
         if self.combination == 'mul':
             h = xs[:, None, :, :] * aux[:, :, None, :]
@@ -319,7 +330,9 @@ class MaskEstimator(Configurable):
                 h = jnp.tanh(h)
 
         lin = params['post_net'][f'linear{self.layers - 1}']
-        logit = h @ lin['weight'].T + lin['bias']
+        logit = (h @ lin['weight'].T.astype(h.dtype)
+                 + lin['bias'].astype(h.dtype))
+        logit = logit.astype(jnp.float32)
 
         # head rearrange -> (B', S, nmask, T, Fh)
         M = self.nmask

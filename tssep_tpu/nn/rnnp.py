@@ -82,9 +82,10 @@ def _blstm_apply_impl(params, x, hidden_size: int, bidirectional: bool):
     H = hidden_size
 
     def direction(suffix, reverse):
-        w_ih = params['weight_ih_l0' + suffix]
+        w_ih = params['weight_ih_l0' + suffix].astype(x.dtype)
         w_hh = params['weight_hh_l0' + suffix]
-        b = params['bias_ih_l0' + suffix] + params['bias_hh_l0' + suffix]
+        b = (params['bias_ih_l0' + suffix]
+             + params['bias_hh_l0' + suffix]).astype(x.dtype)
         xg = x @ w_ih.T + b                      # (B, T, 4H) — one MXU matmul
         xg = jnp.swapaxes(xg, 0, 1)              # time-major for scan
         h0 = jnp.zeros((B, H), dtype=x.dtype)
@@ -192,7 +193,7 @@ class RNNP:
             h = blstm_apply(params[f'lstm{i}'], h, hidden_size=self.cdim,
                             bidirectional=self.bidirectional)
             p = params[f'proj{i}']
-            h = h @ p['weight'].T + p['bias']
+            h = h @ p['weight'].T.astype(h.dtype) + p['bias'].astype(h.dtype)
             if i < self.elayers - 1:
                 if training and self.dropout > 0 and rng is not None:
                     rng, sub = jax.random.split(rng)
