@@ -22,8 +22,10 @@ from pathlib import Path
 # (quality-neutral on the toy recipes; see tests + README).
 os.environ.setdefault('TSSEP_LSTM_IMPL', 'pallas')
 os.environ.setdefault('TSSEP_LSTM_DTYPE', 'bfloat16')
-os.environ.setdefault('TSSEP_PALLAS_BATCH_BLOCK', '256')
+os.environ.setdefault('TSSEP_PALLAS_BATCH_BLOCK', '128')
 os.environ.setdefault('TSSEP_COMPUTE_DTYPE', 'bfloat16')
+os.environ.setdefault('TSSEP_PALLAS_TIME_BLOCK', '4')
+os.environ.setdefault('TSSEP_DFT_PRECISION', 'default')
 
 import jax
 import jax.numpy as jnp

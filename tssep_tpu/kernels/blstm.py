@@ -38,76 +38,100 @@ __all__ = ['lstm_fused', 'blstm_apply_fused']
 # Kernels (forward time order only)
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(xg_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr, *, hidden):
-    t = pl.program_id(1)
+def _fwd_kernel(xg_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr, *, hidden,
+                time_block):
+    tb = pl.program_id(1)
 
-    @pl.when(t == 0)
+    @pl.when(tb == 0)
     def _():
         h_scr[:] = jnp.zeros_like(h_scr)
         c_scr[:] = jnp.zeros_like(c_scr)
 
-    h = h_scr[:]
-    c = c_scr[:]
-    gates = xg_ref[0].astype(jnp.float32) + jnp.dot(
-        h.astype(whh_ref.dtype), whh_ref[:],
-        preferred_element_type=jnp.float32)
-    i = jax.nn.sigmoid(gates[:, :hidden])
-    f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
-    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
-    o = jax.nn.sigmoid(gates[:, 3 * hidden:])
-    c = f * c + i * g
-    h = o * jnp.tanh(c)
-    h_scr[:] = h
-    c_scr[:] = c
-    hs_ref[0] = h.astype(hs_ref.dtype)
-    cs_ref[0] = c.astype(cs_ref.dtype)
+    def step(k, _):
+        h = h_scr[:]
+        c = c_scr[:]
+        gates = xg_ref[k].astype(jnp.float32) + jnp.dot(
+            h.astype(whh_ref.dtype), whh_ref[:],
+            preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(gates[:, :hidden])
+        f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        h_scr[:] = h
+        c_scr[:] = c
+        hs_ref[k] = h.astype(hs_ref.dtype)
+        cs_ref[k] = c.astype(cs_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, time_block, step, 0)
 
 
 def _bwd_kernel(xg_ref, whh_ref, hprev_ref, cprev_ref, c_ref, dhs_ref,
-                dxg_ref, dwhh_ref, dh_scr, dc_scr, *, hidden):
-    step = pl.program_id(1)          # walks t = T-1 .. 0 via index maps
+                dxg_ref, dwhh_ref, dh_scr, dc_scr, dw_scr, *, hidden,
+                time_block):
+    tb = pl.program_id(1)            # walks time blocks last-to-first
     bblk = pl.program_id(0)
+    n_tb = pl.num_programs(1)
 
-    @pl.when(step == 0)
+    @pl.when(tb == 0)
     def _():
         dh_scr[:] = jnp.zeros_like(dh_scr)
         dc_scr[:] = jnp.zeros_like(dc_scr)
+        dw_scr[:] = jnp.zeros_like(dw_scr)
 
-    @pl.when(jnp.logical_and(step == 0, bblk == 0))
+    def step(j, _):
+        k = time_block - 1 - j
+        h_prev = hprev_ref[k]
+        c_prev = cprev_ref[k].astype(jnp.float32)
+        c_t = c_ref[k].astype(jnp.float32)
+
+        gates = xg_ref[k].astype(jnp.float32) + jnp.dot(
+            h_prev, whh_ref[:], preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(gates[:, :hidden])
+        f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+
+        dh = dh_scr[:] + dhs_ref[k]
+        tanh_c = jnp.tanh(c_t)
+        do = dh * tanh_c
+        dc = dc_scr[:] + dh * o * (1 - tanh_c * tanh_c)
+        di = dc * g
+        df = dc * c_prev
+        dg = dc * i
+        dgates = jnp.concatenate([
+            di * i * (1 - i),
+            df * f * (1 - f),
+            dg * (1 - g * g),
+            do * o * (1 - o),
+        ], axis=1)
+
+        dxg_ref[k] = dgates.astype(dxg_ref.dtype)
+        dw_scr[:] += jnp.dot(h_prev.T.astype(dgates.dtype), dgates,
+                             preferred_element_type=jnp.float32)
+        dh_scr[:] = jnp.dot(dgates, whh_ref[:].T.astype(dgates.dtype),
+                            preferred_element_type=jnp.float32)
+        dc_scr[:] = dc * f
+        return 0
+
+    jax.lax.fori_loop(0, time_block, step, 0)
+
+    # Flush the weight-grad accumulator on the last visited block of each
+    # batch block (the output block index is constant; later batch blocks
+    # add on top starting from the first one's result).
+    @pl.when(tb == n_tb - 1)
     def _():
-        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+        @pl.when(bblk == 0)
+        def _():
+            dwhh_ref[:] = dw_scr[:]
 
-    h_prev = hprev_ref[0]
-    c_prev = cprev_ref[0].astype(jnp.float32)
-    c_t = c_ref[0].astype(jnp.float32)
+        @pl.when(bblk > 0)
+        def _():
+            dwhh_ref[:] += dw_scr[:]
 
-    gates = xg_ref[0].astype(jnp.float32) + jnp.dot(
-        h_prev, whh_ref[:], preferred_element_type=jnp.float32)
-    i = jax.nn.sigmoid(gates[:, :hidden])
-    f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
-    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
-    o = jax.nn.sigmoid(gates[:, 3 * hidden:])
-
-    dh = dh_scr[:] + dhs_ref[0]
-    tanh_c = jnp.tanh(c_t)
-    do = dh * tanh_c
-    dc = dc_scr[:] + dh * o * (1 - tanh_c * tanh_c)
-    di = dc * g
-    df = dc * c_prev
-    dg = dc * i
-    dgates = jnp.concatenate([
-        di * i * (1 - i),
-        df * f * (1 - f),
-        dg * (1 - g * g),
-        do * o * (1 - o),
-    ], axis=1)
-
-    dxg_ref[0] = dgates.astype(dxg_ref.dtype)
-    dwhh_ref[:] += jnp.dot(h_prev.T.astype(dgates.dtype), dgates,
-                           preferred_element_type=jnp.float32)
-    dh_scr[:] = jnp.dot(dgates, whh_ref[:].T.astype(dgates.dtype),
-                        preferred_element_type=jnp.float32)
-    dc_scr[:] = dc * f
+        dw_scr[:] = jnp.zeros_like(dw_scr)
 
 
 # ---------------------------------------------------------------------------
@@ -139,25 +163,41 @@ def _batch_block(b):
     return min(b, BATCH_BLOCK)
 
 
+#: Time steps per grid program: amortizes per-grid-step overhead; the inner
+#: fori_loop runs on VMEM-resident data.
+TIME_BLOCK = int(__import__("os").environ.get("TSSEP_PALLAS_TIME_BLOCK", "4"))
+
+
+def _pad_time_multiple(x, k):
+    t = x.shape[0]
+    pad = (-t) % k
+    if pad == 0:
+        return x, t
+    return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)), t
+
+
 def _core_fwd_impl(xg, w_hh_t):
     seq_len, b, gh = xg.shape
     sdt = xg.dtype
     hidden = w_hh_t.shape[0]
     bb = _batch_block(b)
     nb = b // bb
+    k = TIME_BLOCK
+    assert seq_len % k == 0, (seq_len, k)
+    ntb = seq_len // k
     hs, cs = pl.pallas_call(
-        functools.partial(_fwd_kernel, hidden=hidden),
-        grid=(nb, seq_len),
+        functools.partial(_fwd_kernel, hidden=hidden, time_block=k),
+        grid=(nb, ntb),
         in_specs=[
-            pl.BlockSpec((1, bb, gh), lambda i, t: (t, i, 0),
+            pl.BlockSpec((k, bb, gh), lambda i, t: (t, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, gh), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bb, hidden), lambda i, t: (t, i, 0),
+            pl.BlockSpec((k, bb, hidden), lambda i, t: (t, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bb, hidden), lambda i, t: (t, i, 0),
+            pl.BlockSpec((k, bb, hidden), lambda i, t: (t, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -197,22 +237,25 @@ def _lstm_core_bwd(residuals, dhs):
 
     bb = _batch_block(b)
     nb = b // bb
-    rev = lambda i, s: ((seq_len - 1 - s), i, 0)  # noqa: E731
+    k = TIME_BLOCK
+    assert seq_len % k == 0, (seq_len, k)
+    ntb = seq_len // k
+    rev = lambda i, t: ((ntb - 1 - t), i, 0)  # noqa: E731
     dxg, dwhh = pl.pallas_call(
-        functools.partial(_bwd_kernel, hidden=hidden),
-        grid=(nb, seq_len),
+        functools.partial(_bwd_kernel, hidden=hidden, time_block=k),
+        grid=(nb, ntb),
         in_specs=[
-            pl.BlockSpec((1, bb, gh), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, gh), lambda i, s: (0, 0),
+            pl.BlockSpec((k, bb, gh), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, gh), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bb, hidden), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bb, hidden), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bb, hidden), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bb, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bb, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bb, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bb, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bb, hidden), rev, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bb, gh), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, gh), lambda i, s: (0, 0),
+            pl.BlockSpec((k, bb, gh), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, gh), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -222,6 +265,7 @@ def _lstm_core_bwd(residuals, dhs):
         scratch_shapes=[
             pltpu.VMEM((bb, hidden), jnp.float32),
             pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((hidden, gh), jnp.float32),
         ],
     )(xg, w_hh_t, hs_prev, cs_prev, cs, dhs)
     return dxg.astype(jnp.float32), dwhh
@@ -241,7 +285,9 @@ def lstm_fused(xg, w_hh_t, reverse=False):
     xg, real_b = _pad_batch(xg, multiple)
     if reverse:
         xg = jnp.flip(xg, axis=0)
+    xg, real_t = _pad_time_multiple(xg, TIME_BLOCK)
     hs = _lstm_core(xg, w_hh_t.astype(STORAGE_DTYPE))
+    hs = hs[:real_t]
     if reverse:
         hs = jnp.flip(hs, axis=0)
     return hs[:, :real_b].astype(jnp.float32)

@@ -300,9 +300,22 @@ class STFT:
         return self._trim(out, num_samples)
 
 
+import os as _os
+
+#: MXU precision for the DFT contractions.  'highest' = 6-pass f32 emulation
+#: (bit-accurate vs numpy to ~1e-7, the parity default); 'high' = 3 passes;
+#: 'default' = native bf16 (fastest; fine for training — the eval path is
+#: numpy/f64 regardless).
+_DFT_PRECISION = {
+    'highest': jax.lax.Precision.HIGHEST,
+    'high': jax.lax.Precision.HIGH,
+    'default': jax.lax.Precision.DEFAULT,
+}[_os.environ.get('TSSEP_DFT_PRECISION', 'highest')]
+
+
 def _mm(a, b):
-    """Full-precision matmul (DFT bases need f32 accumulation on the MXU)."""
-    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    """DFT-basis matmul with configurable MXU precision (f32 accumulation)."""
+    return jnp.matmul(a, b, precision=_DFT_PRECISION)
 
 
 @functools.lru_cache(maxsize=None)
