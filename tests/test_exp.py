@@ -193,3 +193,25 @@ def test_vad2sep_broadcast(tmp_path):
             broadcast_param(p, (6, 1), 'tile').ravel(),
             [0, 1, 2, 0, 1, 2])
     test_broadcast_modes()
+
+
+def test_eval_cli(tmp_path):
+    """Train the shrunken TS-VAD toy then score it through the eval CLI
+    entry (checkpoint loading, eval dataset, DER, wav export)."""
+    config = _load_reduced('init_cfg_tsvad.yaml', tmp_path / 'tsvad')
+    nv = NestedView(config)
+    nv['eg.trainer.stop_trigger'] = [3, 'iteration']
+    eg = from_config(Experiment.get_config(config['eg']))
+    eg.train()
+
+    from tssep_tpu.eval.run import evaluate
+    eg2: Experiment = from_config(Experiment.get_config(
+        _load_reduced('init_cfg_tsvad.yaml', tmp_path / 'tsvad')['eg']))
+    metrics = evaluate(eg2, limit=2)
+    assert metrics['summary']['num_recordings'] == 2
+    assert 'mean_der' in metrics['summary']
+    assert 0 <= metrics['summary']['mean_der'] <= 3
+    out_dir = tmp_path / 'tsvad' / 'eval' / '3'
+    assert (out_dir / 'metrics.json').exists()
+    wavs = list((out_dir / 'audio').glob('*.wav'))
+    assert len(wavs) == 2 * 8  # 2 recordings x 8 speakers

@@ -1,0 +1,118 @@
+"""Evaluation CLI: score a trained experiment on its eval dataset.
+
+The reference's eval driver lives in its companion repo (tssep_data); this
+is the native equivalent::
+
+    python -m tssep_tpu.eval.run with <storage_dir>/config.yaml \
+        [checkpoint=...] [out=...] [beamform=true|false]
+
+Loads the experiment config + checkpoint (best by default), runs the
+long-recording eval driver over the eval dataset (chunked jit inference,
+diarization, beamforming/masking, stitching), writes per-speaker WAVs and a
+``metrics.json`` with per-recording and mean DER / SI-SDR.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from tssep_tpu.config.configurable import from_config
+from tssep_tpu.eval.driver import EvalDriver, save_wavs
+from tssep_tpu.eval.metrics import si_sdr
+from tssep_tpu.train.run import build_config, parse_argv
+
+__all__ = ['evaluate', 'main']
+
+
+def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None):
+    """Run the eval driver for an Experiment; returns the metrics dict."""
+    trainer = eg.trainer
+    trainer.ensure_init()
+    storage_dir = Path(trainer.storage_dir)
+    if checkpoint is None:
+        for name in ('ckpt_best_loss.npz', 'ckpt_latest.npz'):
+            cand = trainer.checkpoint_dir / name
+            if cand.exists():
+                checkpoint = cand
+                break
+    if checkpoint is not None:
+        trainer.load(checkpoint)
+        print(f'Loaded checkpoint {checkpoint} (iteration '
+              f'{trainer.iteration})')
+    else:
+        print('WARNING: no checkpoint found; evaluating the initialization')
+
+    out_dir = Path(out) if out else storage_dir / 'eval' / str(trainer.iteration)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    model = trainer.model
+    driver = EvalDriver(model)
+    ds = model.prepare_eval_dataset(prefetch=False)
+
+    sample_rate = getattr(model.reader, 'sample_rate', 16000)
+    records = []
+    for i, ex in enumerate(ds):
+        if limit is not None and i >= limit:
+            break
+        example_id = ex.get('example_id', f'ex{i}')
+        if isinstance(example_id, list):
+            example_id = example_id[0]
+        obs = np.asarray(ex['observation'])
+        aux = np.asarray(ex['auxInput'])
+        result = driver.run_recording(trainer.params, obs, aux,
+                                      beamform=beamform)
+        record = {'example_id': str(example_id)}
+        if 'vad' in ex:
+            record.update(driver.score_der(result, np.asarray(ex['vad'])))
+        target_key = 'speaker_reverberation_early_ch0'
+        if target_key in ex:
+            tgt = np.asarray(ex[target_key])
+            est = np.asarray(result['time_estimate'])[..., :tgt.shape[-1]]
+            active = np.abs(tgt).sum(-1) > 0
+            if active.any():
+                record['si_sdr'] = float(np.mean(si_sdr(tgt[active],
+                                                        est[active])))
+        save_wavs(result, out_dir / 'audio', sample_rate=sample_rate,
+                  example_id=str(example_id))
+        records.append(record)
+        print(json.dumps(record))
+
+    summary = {'num_recordings': len(records)}
+    for key in ('der', 'si_sdr'):
+        vals = [r[key] for r in records if key in r]
+        if vals:
+            summary[f'mean_{key}'] = float(np.mean(vals))
+    metrics = {'summary': summary, 'per_recording': records,
+               'checkpoint': str(checkpoint), 'iteration': trainer.iteration}
+    (out_dir / 'metrics.json').write_text(json.dumps(metrics, indent=1))
+    print('SUMMARY', json.dumps(summary))
+    return metrics
+
+
+def main(argv=None):
+    import os
+    if os.environ.get('JAX_PLATFORMS'):
+        import jax
+        try:
+            jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+        except Exception:  # noqa: BLE001
+            pass
+    if argv is None:
+        argv = sys.argv[1:]
+    _, files, overrides = parse_argv(argv)
+    checkpoint = overrides.pop('checkpoint', None)
+    out = overrides.pop('out', None)
+    beamform = overrides.pop('beamform', None)
+    limit = overrides.pop('limit', None)
+    config = build_config(files, overrides)
+    eg = from_config(config['eg'])
+    return evaluate(eg, checkpoint=checkpoint, out=out, beamform=beamform,
+                    limit=limit)
+
+
+if __name__ == '__main__':
+    main()
