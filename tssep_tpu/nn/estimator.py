@@ -213,6 +213,12 @@ class MaskEstimator(Configurable):
             assert aux_net_output_size is not None
             first_birnn_idim = odim + aux_net_output_size
         elif combination == 'mul':
+            # LHUC-style elementwise conditioning: embeddings live in the
+            # odim feature space.
+            if aux_net_output_size is not None:
+                assert aux_net_output_size == odim, (
+                    f"combination='mul' needs aux embeddings of size odim="
+                    f"{odim}, got aux_net_output_size={aux_net_output_size}")
             first_birnn_idim = odim
         else:
             raise NotImplementedError(combination)

@@ -64,6 +64,11 @@ class Loss(Configurable):
             return (self.target[0].upper() + self.target[1:],)
         return (self.target,)
 
+    def device_targets(self):
+        """Example keys the device-side loss actually reads (the host may
+        keep everything else — e.g. sample-domain VAD — off the wire)."""
+        return set(self.targets()) | set(self.targets(lower=True))
+
     def loss_fn(self, estimate, target):
         raise NotImplementedError
 
@@ -205,6 +210,12 @@ class VADSigmoidBCE(Loss):
         # pairwise already time-averaged; mean over speakers
         return summed / 1
 
+    def device_targets(self):
+        # frame-domain 'Vad' only; the sample-domain activity stays host-side
+        if self.target in ('vad', 'Vad'):
+            return {'Vad'}
+        return super().device_targets()
+
     def prepare_target(self, target, dtype=jnp.float32):
         if self.target in ('vad', 'Vad'):
             return target
@@ -259,6 +270,11 @@ class SignalAndVADSigmoidBCE(VADSigmoidBCE):
     def targets(self, lower=False, upper=False):
         return (super().targets(lower=lower, upper=upper)
                 + self.signal_loss.targets(lower=lower, upper=upper))
+
+    def device_targets(self):
+        return ({'Vad'} if self.target in ('vad', 'Vad')
+                else super().device_targets()) \
+            | self.signal_loss.device_targets()
 
     def from_ex_out(self, ex, out, model, summary=None):
         signal_loss = self.signal_loss.from_ex_out(ex, out, model, summary)

@@ -109,8 +109,11 @@ class Model(Configurable):
     # ------------------------------------------------------------------
     @property
     def _device_keys(self):
-        return set(_DEVICE_KEY_BASE) | set(self.loss.targets(lower=True)) \
-            | set(self.loss.targets())
+        extra = (self.loss.device_targets()
+                 if hasattr(self.loss, 'device_targets')
+                 else set(self.loss.targets())
+                 | set(self.loss.targets(lower=True)))
+        return set(_DEVICE_KEY_BASE) | extra
 
     def example_to_device(self, ex, device=None):
         out = dict(ex)

@@ -33,7 +33,12 @@ class Experiment(Configurable):
 
     def __init__(self, trainer, train_batchsize=None,
                  validation_batchsize=None, init_ckpt=None,
-                 init_ckpt_strict=True):
+                 init_ckpt_strict=True, cache_datasets_on_device=False):
+        #: Materialize the train/validation batches on the device once and
+        #: cycle them (only batch ORDER reshuffles).  TPU-idiomatic for
+        #: corpora that fit in HBM, and essential on hosts with slow
+        #: host->device links.
+        self.cache_datasets_on_device = cache_datasets_on_device
         if isinstance(trainer, dict):
             trainer = from_config(trainer)
         if isinstance(init_ckpt, dict):
@@ -89,10 +94,13 @@ class Experiment(Configurable):
 
         validation_ds = trainer.model.prepare_validate_dataset(
             prefetch=True, batch_size=self.validation_batchsize)
-        trainer.register_validation_hook(validation_ds, max_checkpoints=None)
-
         train_ds = trainer.model.prepare_train_dataset(
             prefetch=True, batch_size=self.train_batchsize)
+        if self.cache_datasets_on_device:
+            print('Caching datasets on device ...')
+            validation_ds = validation_ds.copy(freeze=True)
+            train_ds = train_ds.copy(freeze=True).shuffle(reshuffle=True)
+        trainer.register_validation_hook(validation_ds, max_checkpoints=None)
 
         # Shape/parameter report (the reference's tracker table equivalent)
         from tssep_tpu.train.track import cost_analysis_report, model_report
