@@ -140,3 +140,14 @@ def test_host_shard_dataset():
     assert shards[1] == [1, 4, 7]
     assert shards[2] == [2, 5, 8]
     assert sum(len(s) for s in shards) == 10
+
+
+def test_calibrate_threshold():
+    from tssep_tpu.eval.driver import calibrate_threshold
+    rng = np.random.RandomState(0)
+    refs = [rng.rand(3, 200) > 0.7 for _ in range(3)]
+    # scores: ref + noise, centered around 0.3 -> best threshold well below 0.5
+    acts = [0.25 + 0.2 * r + 0.05 * rng.randn(*r.shape) for r in refs]
+    th, d = calibrate_threshold(acts, refs, smooth_kernel=1)
+    assert 0.2 < th < 0.5
+    assert d < 0.2

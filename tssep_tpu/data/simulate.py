@@ -31,27 +31,43 @@ __all__ = ['SpeakerEmbedder', 'MeetingSimulator', 'simulate_corpus']
 
 
 class SpeakerEmbedder:
-    """Enrollment audio -> (aux_size,) embedding: mean + std of log-mel
-    frames, projected/padded to ``aux_size`` and L2-normalized."""
+    """Enrollment audio -> (aux_size,) embedding: the speaker's average
+    mel-spectral profile (aux_size mel bands), log-compressed, mean-removed
+    and L2-normalized — a sharp spectral fingerprint (d-vector-lite).  Any
+    stronger embedding source (i-vectors, neural d-vectors) plugs into the
+    same ``auxInput`` slot."""
 
-    def __init__(self, aux_size=100, sample_rate=16000, n_mels=40,
-                 stft_size=512, stft_shift=160):
+    def __init__(self, aux_size=100, sample_rate=16000, n_mels=None,
+                 stft_size=512, stft_shift=160, kind='mel'):
         self.aux_size = aux_size
         self.sample_rate = sample_rate
-        self.stft = STFT(size=stft_size, shift=stft_shift, window='hann')
-        self.fbank = mel_filterbank(
-            n_freqs=stft_size // 2 + 1, f_min=40,
-            f_max=sample_rate // 2 - 100, n_mels=n_mels,
-            sample_rate=sample_rate)
-        rng = np.random.RandomState(1234)  # fixed random projection
-        self.projection = rng.randn(2 * n_mels, aux_size).astype(
-            np.float64) / np.sqrt(2 * n_mels)
+        self.kind = kind
+        if kind == 'gate':
+            # spectral-gate fingerprint: aux_size must match the model's
+            # STFT bins; values in [0, 1], high where the speaker has
+            # energy — the natural partner of 'mul' (LHUC) conditioning.
+            stft_size = 2 * (aux_size - 1)
+            self.stft = STFT(size=stft_size, shift=stft_size // 4,
+                             window='hann')
+            self.fbank = None
+        else:
+            self.stft = STFT(size=stft_size, shift=stft_shift, window='hann')
+            self.fbank = mel_filterbank(
+                n_freqs=stft_size // 2 + 1, f_min=40,
+                f_max=sample_rate // 2 - 100, n_mels=n_mels or aux_size,
+                sample_rate=sample_rate)
 
     def __call__(self, signal):
         spec = np.abs(self.stft.stft(np.asarray(signal, dtype=np.float64)))
-        mel = np.log(spec ** 2 @ self.fbank + 1e-8)
-        stats = np.concatenate([mel.mean(axis=-2), mel.std(axis=-2)], -1)
-        emb = stats @ self.projection
+        profile = (spec ** 2).mean(axis=-2)
+        if self.kind == 'gate':
+            # light smoothing + max-normalize -> [0, 1] gate profile
+            kernel = np.ones(3) / 3
+            profile = np.convolve(profile, kernel, mode='same')
+            gate = profile / np.maximum(profile.max(), 1e-12)
+            return np.sqrt(gate).astype(np.float32)
+        mel = np.log(profile @ self.fbank + 1e-8)
+        emb = mel - mel.mean()
         return (emb / np.maximum(np.linalg.norm(emb), 1e-9)).astype(np.float32)
 
 
@@ -67,10 +83,12 @@ class MeetingSimulator:
     overlap: float = 0.5           # fraction of each turn overlapping the next
     snr_db: float = 10.0           # speech-to-noise ratio
     reverb_taps: int = 0           # extra delayed/decayed copies per channel
+    embedding_kind: str = 'mel'    # 'mel' (d-vector-lite) | 'gate' (spectral)
     seed: int = 0
 
     def __post_init__(self):
-        self.embedder = SpeakerEmbedder(self.aux_size, self.sample_rate)
+        self.embedder = SpeakerEmbedder(self.aux_size, self.sample_rate,
+                                        kind=self.embedding_kind)
 
     def _speaker_source(self, rng, num_samples, voiced_f0):
         """Harmonic-plus-noise 'speech' with amplitude modulation."""

@@ -284,3 +284,33 @@ def _wav_write_py(path, sig, sample_rate):
         f.write(b'fmt ' + struct.pack('<IHHIIHH', 16, 1, 1, sample_rate,
                                       sample_rate * 2, 2, 16))
         f.write(b'data' + struct.pack('<I', len(pcm)) + pcm)
+
+
+def calibrate_threshold(activities, references, thresholds=None,
+                        smooth_kernel=11, min_frames=0):
+    """Pick the activity threshold minimizing DER over a calibration set.
+
+    activities: list of (spk, frames) scores; references: list of matching
+    (spk, frames) boolean frame activities.  This is the diarization
+    threshold calibration step (run on the validation/domain-adaptation set
+    before eval; cross-host stats can be psum-reduced over a mesh).
+    Returns (best_threshold, best_der).
+    """
+    if thresholds is None:
+        thresholds = np.linspace(0.05, 0.9, 18)
+    best = (0.5, np.inf)
+    for th in thresholds:
+        total_err, total_ref = 0.0, 0.0
+        for act, ref in zip(activities, references):
+            hyp = np.stack([np.asarray(ai, dtype=bool)
+                            for ai in diarize_from_activity(
+                                act, th, smooth_kernel, min_frames)])
+            ref = np.asarray(ref, dtype=bool)
+            frames = min(ref.shape[-1], hyp.shape[-1])
+            r = der(ref[..., :frames], hyp[..., :frames])
+            total_err += r['der'] * r['total']
+            total_ref += r['total']
+        d = total_err / max(total_ref, 1)
+        if d < best[1]:
+            best = (float(th), float(d))
+    return best

@@ -51,6 +51,36 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None):
 
     model = trainer.model
     driver = EvalDriver(model)
+
+    # Diarization threshold calibration on the validation set (when it has
+    # reference activity) — reference workflow's 'domain adaptation' step.
+    try:
+        from tssep_tpu.eval.driver import calibrate_threshold
+        from tssep_tpu.signal.vad import stft_vad
+        cal_ds = model.prepare_validate_dataset(prefetch=False)
+        acts, refs = [], []
+        for i, ex in enumerate(cal_ds):
+            if i >= 4 or 'vad' not in ex:
+                break
+            obs_stft = model.fe.stft(np.asarray(ex['observation']))
+            _, activity = driver.chunked(trainer.params,
+                                         np.asarray(obs_stft),
+                                         np.asarray(ex['auxInput']))
+            ref = np.asarray(stft_vad(np.asarray(ex['vad']),
+                                      model.fe.window_length, model.fe.shift,
+                                      model.fe.fading), dtype=bool)
+            acts.append(activity)
+            refs.append(ref)
+        if acts:
+            th, cal_der = calibrate_threshold(
+                acts, refs, smooth_kernel=driver.smooth_kernel,
+                min_frames=driver.min_frames)
+            print(f'Calibrated VAD threshold: {th:.2f} '
+                  f'(calibration DER {cal_der:.3f})')
+            driver.vad_threshold = th
+    except Exception as e:  # noqa: BLE001 - calibration is best-effort
+        print(f'threshold calibration skipped: {e}')
+
     ds = model.prepare_eval_dataset(prefetch=False)
 
     sample_rate = getattr(model.reader, 'sample_rate', 16000)

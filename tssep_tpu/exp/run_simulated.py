@@ -39,7 +39,7 @@ def _config(work_dir, shards, stage, iters, batch, aux_size=64,
                 },
                 'mask_estimator': {
                     'factory': 'tssep_tpu.nn.estimator.MaskEstimator',
-                    'units': 64, 'projs': 64, 'combination': 'cat',
+                    'units': 64, 'projs': 64, 'combination': 'mul',
                     'ts_vad': 8, 'aux_net_output_size': aux_size,
                     'num_averaged_permutations': 2,
                     'output_resolution': 't' if stage == 'tsvad' else 'tf',
@@ -69,7 +69,7 @@ def _config(work_dir, shards, stage, iters, batch, aux_size=64,
 
 
 def main(work_dir='egs/simulated', train_examples=32, eval_examples=4,
-         tsvad_iters=400, tssep_iters=400, batch=8, aux_size=64,
+         tsvad_iters=800, tssep_iters=800, batch=8, aux_size=513,
          duration=5.0):
     from tssep_tpu.config.configurable import from_config
     from tssep_tpu.data.simulate import MeetingSimulator, simulate_corpus
@@ -90,7 +90,8 @@ def main(work_dir='egs/simulated', train_examples=32, eval_examples=4,
         if not path.exists():
             print(f'Simulating {n} {split} meetings -> {path}')
             simulate_corpus(path, n, MeetingSimulator(
-                duration=dur, aux_size=aux_size, seed=seed))
+                duration=dur, aux_size=aux_size, seed=seed,
+                embedding_kind='gate'))
         shards[split] = path
 
     # 2. stage 1: TS-VAD
