@@ -17,7 +17,6 @@ module names differ:
 from __future__ import annotations
 
 import re
-from pathlib import Path
 
 import numpy as np
 

@@ -11,7 +11,6 @@ so hour-scale corpora never fully materialize in memory.
 from __future__ import annotations
 
 import dataclasses
-from pathlib import Path
 
 import numpy as np
 

@@ -90,13 +90,27 @@ class MeetingSimulator:
         self.embedder = SpeakerEmbedder(self.aux_size, self.sample_rate,
                                         kind=self.embedding_kind)
 
-    def _speaker_source(self, rng, num_samples, voiced_f0):
-        """Harmonic-plus-noise 'speech' with amplitude modulation."""
+    def _speaker_source(self, rng, num_samples, voiced_f0, timbre_seed=None):
+        """Harmonic-plus-noise 'speech' with a per-speaker timbre envelope.
+
+        The speaker identity is (f0, timbre): harmonic amplitudes come from
+        the timbre seed so enrollment and meeting speech share the same
+        spectral fingerprint (as a real voice does), while phases/modulation
+        vary per utterance.
+        """
         t = np.arange(num_samples) / self.sample_rate
+        if timbre_seed is None:
+            timbre_seed = int(voiced_f0 * 1000) % (2 ** 31)
+        timbre = np.random.RandomState(timbre_seed)
+        n_harm = 8
+        amps = timbre.uniform(0.05, 1.0, n_harm) / np.arange(1, n_harm + 1)
         sig = np.zeros(num_samples)
-        for k in range(1, 6):
-            sig += np.sin(2 * np.pi * voiced_f0 * k * t
-                          + rng.uniform(0, 2 * np.pi)) / k
+        nyquist = self.sample_rate / 2
+        for k in range(1, n_harm + 1):
+            if voiced_f0 * k >= nyquist * 0.95:
+                break
+            sig += amps[k - 1] * np.sin(2 * np.pi * voiced_f0 * k * t
+                                        + rng.uniform(0, 2 * np.pi))
         am = 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(1, 4) * t)
         sig = sig * am + 0.05 * rng.randn(num_samples)
         return sig.astype(np.float32)
@@ -117,10 +131,13 @@ class MeetingSimulator:
         c = self.num_channels
         s = self.num_speakers
 
-        f0s = rng.uniform(80, 300, size=s)
+        # log-uniform f0 spread + per-speaker timbre -> discriminable
+        # spectral fingerprints (like distinct voices)
+        f0s = np.exp(rng.uniform(np.log(90), np.log(900), size=s))
+        timbres = rng.randint(0, 2 ** 31, size=s)
         sources = np.stack([
-            self._speaker_source(rng, num_samples, f0)
-            for f0 in f0s])                                  # (S, T)
+            self._speaker_source(rng, num_samples, f0, int(ts))
+            for f0, ts in zip(f0s, timbres)])                # (S, T)
         vad = self._turn_layout(num_samples)
         sources = sources * vad
 
@@ -146,11 +163,12 @@ class MeetingSimulator:
                          / (10 ** (self.snr_db / 10)))
         observation = speech + noise
 
-        # Enrollment: a clean solo segment per speaker -> embedding
+        # Enrollment: a clean solo utterance per speaker (same voice
+        # identity, fresh phases/modulation) -> embedding
         aux = np.stack([
             self.embedder(self._speaker_source(
                 np.random.RandomState(self.seed * 7919 + 17 * spk),
-                self.sample_rate, f0s[spk]))
+                self.sample_rate, f0s[spk], int(timbres[spk])))
             for spk in range(s)])
 
         return {

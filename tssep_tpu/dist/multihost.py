@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import numpy as np
 
-from tssep_tpu.dist.mesh import DATA_AXIS, batch_shardings
+from tssep_tpu.dist.mesh import batch_shardings
 
 __all__ = ['initialize', 'is_initialized', 'process_count', 'process_index',
            'global_batch_from_local', 'host_shard_dataset']

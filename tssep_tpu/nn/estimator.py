@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tssep_tpu.config.configurable import Configurable, from_config, is_factory_config
+from tssep_tpu.config.configurable import Configurable, from_config
 from tssep_tpu.nn.init import torch_linear_init
 from tssep_tpu.nn.norm import InstanceNorm
 from tssep_tpu.nn.rnnp import RNNP

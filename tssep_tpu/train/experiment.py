@@ -4,7 +4,6 @@ registration, log-file artifacts, then the trainer loop."""
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
 
 from tssep_tpu.config.configurable import Configurable, from_config

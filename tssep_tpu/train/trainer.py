@@ -234,6 +234,25 @@ class Trainer(Configurable):
         summary = ReviewSummary()
         t_start = time.time()
         examples_seen = 0
+        # Device values are collected lazily and synced only at summary/
+        # checkpoint boundaries — a per-step host sync would serialize the
+        # dispatch pipeline (expensive on high-latency runtimes).
+        pending = []
+
+        def drain_pending():
+            nonlocal pending
+            for step_loss, per, datasets in pending:
+                step_loss = float(step_loss)
+                if not np.isfinite(step_loss):
+                    raise RuntimeError(
+                        f'Non-finite loss {step_loss} near iteration '
+                        f'{self.iteration}')
+                summary.add_to_loss(step_loss)
+                for ds_name, lv in zip(datasets,
+                                       np.atleast_1d(np.asarray(per))):
+                    summary.add_scalar(
+                        f'{ds_name}_{self.model.loss.name}', lv)
+            pending = []
 
         while self.iteration < self.stop_trigger:
             for k in range(vmb):
@@ -244,22 +263,17 @@ class Trainer(Configurable):
                                        self.iteration), k)
                 self.params, self.opt_state, loss, aux = self._update_fn(
                     self.params, self.opt_state, arrays, key)
-                loss = float(loss)
-                if not np.isfinite(loss):
-                    raise RuntimeError(
-                        f'Non-finite loss {loss} at iteration '
-                        f'{self.iteration}')
-                summary.add_to_loss(loss)
-                per = np.atleast_1d(np.asarray(aux['per_example_loss']))
-                examples_seen += len(per)
-                datasets = meta.get('dataset', ['train'] * len(per))
+                per = aux['per_example_loss']
+                n = int(np.prod(per.shape)) if hasattr(per, 'shape') else 1
+                examples_seen += max(n, 1)
+                datasets = meta.get('dataset', ['train'] * max(n, 1))
                 if isinstance(datasets, str):
-                    datasets = [datasets] * len(per)
-                for ds_name, lv in zip(datasets, per):
-                    summary.add_scalar(f'{ds_name}_{self.model.loss.name}', lv)
+                    datasets = [datasets] * max(n, 1)
+                pending.append((loss, per, datasets))
             self.iteration += 1
 
             if self.iteration % self.summary_trigger == 0:
+                drain_pending()
                 elapsed = time.time() - t_start
                 summary.add_scalar('examples_per_second',
                                    examples_seen / max(elapsed, 1e-9))
@@ -268,6 +282,7 @@ class Trainer(Configurable):
 
             if (self.iteration % self.checkpoint_trigger == 0
                     or self.iteration >= self.stop_trigger):
+                drain_pending()
                 best = False
                 if self._validation_ds is not None:
                     val_loss, val_summary = self.validate()
@@ -280,6 +295,7 @@ class Trainer(Configurable):
                         best = True
                 self.save(best=best)
 
+        drain_pending()
         # Final checkpoint if the loop ended off-trigger
         if not (self.checkpoint_dir / f'ckpt_{self.iteration}.npz').exists():
             self.save()
