@@ -118,3 +118,86 @@ def main(work_dir='egs/simulated', train_examples=32, eval_examples=4,
 
 if __name__ == '__main__':
     main(*sys.argv[1:2])
+
+
+def joint_eval(vad_eg, sep_eg, limit=None):
+    """The canonical TS-SEP deployment: diarization from the TS-VAD model,
+    separation masks from the TS-SEP model (reference workflow: the VAD
+    stage's activity drives the segment loop; the SEP stage's masks drive
+    reconstruction)."""
+    import numpy as np
+    from tssep_tpu.eval.driver import (ChunkedMaskEstimator,
+                                       calibrate_threshold,
+                                       diarize_from_activity)
+    from tssep_tpu.eval.metrics import si_sdr
+    from tssep_tpu.signal.vad import stft_vad
+
+    for eg in (vad_eg, sep_eg):
+        eg.trainer.ensure_init()
+        ck = eg.trainer.checkpoint_dir / 'ckpt_best_loss.npz'
+        if ck.exists():
+            eg.trainer.load(ck)
+    vad_model, sep_model = vad_eg.trainer.model, sep_eg.trainer.model
+    vad_chunked = ChunkedMaskEstimator(vad_model)
+    sep_chunked = ChunkedMaskEstimator(sep_model)
+
+    # calibrate the VAD threshold on validation
+    cal = vad_model.prepare_validate_dataset(prefetch=False)
+    acts, refs = [], []
+    for i, ex in enumerate(cal):
+        if i >= 4:
+            break
+        obs_stft = vad_model.fe.stft(np.asarray(ex['observation']))
+        _, activity = vad_chunked(vad_eg.trainer.params, np.asarray(obs_stft),
+                                  np.asarray(ex['auxInput']))
+        refs.append(np.asarray(stft_vad(np.asarray(ex['vad']),
+                                        vad_model.fe.window_length,
+                                        vad_model.fe.shift,
+                                        vad_model.fe.fading), dtype=bool))
+        acts.append(activity)
+    th, cal_der = calibrate_threshold(acts, refs)
+    print(f'joint eval: VAD threshold {th:.2f} (calibration DER {cal_der:.3f})')
+
+    ds = sep_model.prepare_eval_dataset(prefetch=False)
+    from tssep_tpu.eval.metrics import der as der_fn
+    results = []
+    for i, ex in enumerate(ds):
+        if limit is not None and i >= limit:
+            break
+        obs = np.asarray(ex['observation'])
+        aux = np.asarray(ex['auxInput'])
+        obs_stft = np.asarray(sep_model.fe.stft(obs))
+        _, activity = vad_chunked(vad_eg.trainer.params, obs_stft, aux)
+        dia = diarize_from_activity(activity, th)
+        masks, _ = sep_chunked(sep_eg.trainer.params, obs_stft, aux)
+        est_stft = (obs_stft[0][None] * np.squeeze(masks, axis=-3)
+                    * np.stack([np.asarray(ai, dtype=np.float64)
+                                for ai in dia])[..., None])
+        est = np.asarray(sep_model.fe.istft(est_stft,
+                                            num_samples=obs.shape[-1]))
+        rec = {}
+        if 'vad' in ex:
+            ref = np.asarray(stft_vad(np.asarray(ex['vad']),
+                                      vad_model.fe.window_length,
+                                      vad_model.fe.shift,
+                                      vad_model.fe.fading), dtype=bool)
+            hyp = np.stack([np.asarray(ai, dtype=bool) for ai in dia])
+            frames = min(ref.shape[-1], hyp.shape[-1])
+            rec['der'] = der_fn(ref[..., :frames], hyp[..., :frames])['der']
+        tgt = ex.get('speaker_reverberation_early_ch0')
+        if tgt is not None:
+            tgt = np.asarray(tgt)
+            active = np.abs(tgt).sum(-1) > 0
+            if active.any():
+                rec['si_sdr'] = float(np.mean(si_sdr(
+                    tgt[active], est[active][..., :tgt.shape[-1]])))
+                mix = np.broadcast_to(obs[0], tgt.shape)
+                rec['si_sdr_mixture'] = float(np.mean(si_sdr(
+                    tgt[active], mix[active])))
+        results.append(rec)
+        print(rec)
+    import json
+    summary = {k: float(np.mean([r[k] for r in results if k in r]))
+               for k in ('der', 'si_sdr', 'si_sdr_mixture')}
+    print('JOINT SUMMARY', json.dumps(summary))
+    return summary
