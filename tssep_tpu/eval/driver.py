@@ -32,7 +32,18 @@ from tssep_tpu.signal.intervals import ArrayInterval
 from tssep_tpu.signal.vad import istft_vad
 
 __all__ = ['ChunkedMaskEstimator', 'diarize_from_activity', 'EvalDriver',
-           'stitch_chunks', 'median_smooth']
+           'stitch_chunks', 'median_smooth', 'to_numpy']
+
+
+def to_numpy(x):
+    """Device -> host fetch that also works for complex arrays on TPU
+    runtimes whose D2H path lacks complex support (fetch re/im separately)."""
+    if isinstance(x, np.ndarray):
+        return x
+    if jnp.iscomplexobj(x):
+        return (np.asarray(jnp.real(x))
+                + 1j * np.asarray(jnp.imag(x)))
+    return np.asarray(x)
 
 
 def _chunk_starts(num_frames, chunk, hop):
