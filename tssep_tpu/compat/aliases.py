@@ -29,6 +29,10 @@ _ALIASES = {
         'tssep_tpu.features.extractor.AbsSTFT',
     'tssep.train.feature_extractor.Log1pAbsSTFT':
         'tssep_tpu.features.extractor.Log1pAbsSTFT',
+    'tssep.train.feature_extractor.KaldiTorchMFCC':
+        'tssep_tpu.features.kaldi.KaldiMFCC',
+    'tssep.train.feature_extractor.KaldiTorch':
+        'tssep_tpu.features.kaldi.FuncFeature',
     # data
     'tssep.data.DummyReader': 'tssep_tpu.data.dummy.DummyReader',
     # network

@@ -44,6 +44,7 @@ class DummyReader:
     sample_rate: int = 16000
     aux_size: int = 100
     train_examples: int = 10
+    validate_examples: int = 4
 
     num_speakers: int = 8
     num_channels: int = 1
@@ -59,7 +60,7 @@ class DummyReader:
         if 'train' in dataset_name:
             num_examples = self.train_examples
         else:
-            num_examples = 4
+            num_examples = self.validate_examples
         start_seed = 0
 
         def get_example(seed):

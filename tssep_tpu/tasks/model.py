@@ -130,15 +130,19 @@ class Model(Configurable):
         """Host-side target preparation that cannot run under jit:
         sample-domain VAD -> frame activity for the 'Vad' loss target."""
         if 'Vad' in self.loss.targets() and 'Vad' not in ex and 'vad' in ex:
-            fv = stft_vad(np.asarray(ex['vad']), self.fe.window_length,
-                          self.fe.shift, self.fe.fading)
+            if hasattr(self.fe, 'sample_vad_to_frame_vad'):
+                # Waveform fes (KaldiMFCC) own their frame semantics.
+                fv = self.fe.sample_vad_to_frame_vad(np.asarray(ex['vad']))
+            else:
+                fv = stft_vad(np.asarray(ex['vad']), self.fe.window_length,
+                              self.fe.shift, self.fe.fading)
             ex['Vad'] = np.asarray(fv, dtype=np.float32)
         return ex
 
     def prepare_dataset(
         self, dataset_name, device=None, training=False, review=True,
         batch_size=None, prefetch=True, reader=None, sort=False,
-        verbose=False, load_keys=None,
+        verbose=False, load_keys=None, host_shard=False, drop_last=False,
     ):
         if reader is None:
             reader = self.reader
@@ -210,11 +214,19 @@ class Model(Configurable):
 
         ds = ds.map(prepare)
 
+        if host_shard:
+            # Multi-host: deal examples round-robin by process index on the
+            # deterministic base order (before shuffle/batch), so the union
+            # of all hosts' local batches is the same global batch a
+            # single-host run would see.
+            from tssep_tpu.dist import multihost
+            ds = multihost.host_shard_dataset(ds)
+
         if training and not sort:
             ds = ds.shuffle(reshuffle=True)
 
         if batch_size is not None:
-            ds = ds.batch(batch_size)
+            ds = ds.batch(batch_size, drop_last=drop_last)
             ds = ds.map(self.collate_fn)
 
         if prefetch:
@@ -291,16 +303,20 @@ class Model(Configurable):
         return ex
 
     def prepare_train_dataset(self, device=None, batch_size=None,
-                              prefetch=True, reader=None, sort=False):
+                              prefetch=True, reader=None, sort=False,
+                              host_shard=False, drop_last=False):
         return self.prepare_dataset(
             self.reader.train_dataset_name, device=device, training=True,
-            batch_size=batch_size, prefetch=prefetch, reader=reader, sort=sort)
+            batch_size=batch_size, prefetch=prefetch, reader=reader,
+            sort=sort, host_shard=host_shard, drop_last=drop_last)
 
     def prepare_validate_dataset(self, device=None, batch_size=None,
-                                 prefetch=True, reader=None, sort=False):
+                                 prefetch=True, reader=None, sort=False,
+                                 host_shard=False):
         return self.prepare_dataset(
             self.reader.validate_dataset_name, device=device, training=False,
-            batch_size=batch_size, prefetch=prefetch, reader=reader, sort=sort)
+            batch_size=batch_size, prefetch=prefetch, reader=reader,
+            sort=sort, host_shard=host_shard)
 
     def prepare_eval_dataset(self, device=None, batch_size=None, prefetch=True,
                              reader=None, sort=False, load_keys=None):
@@ -325,10 +341,15 @@ class Model(Configurable):
         elif 'Observation' in ex:
             ex['Input'] = self.fe.stft_to_feature(
                 ex['Observation'][..., ref, :, :]).astype(jnp.float32)
-        else:
+        elif hasattr(self.fe, 'stft'):
             ex['Observation'] = self.fe.stft(ex['observation'])
             ex['Input'] = self.fe.stft_to_feature(
                 ex['Observation'][..., ref, :, :]).astype(jnp.float32)
+        else:
+            # Waveform feature extractor (e.g. KaldiMFCC): the Kaldi-input
+            # TS-VAD path (reference model.py:510-513).
+            ex['Input'] = jnp.asarray(
+                self.fe(ex['observation'][..., ref, :])).astype(jnp.float32)
 
         ex = self.reader.data_hooks.pre_net(ex)
 
@@ -365,6 +386,64 @@ class Model(Configurable):
     # ------------------------------------------------------------------
     # Snapshots (host side, for tensorboard)
     # ------------------------------------------------------------------
+    def add_snapshots(self, ex, out: ForwardOutput, summary,
+                      max_speakers=4):
+        """Push audio / spectrogram-image / mask-image payloads for the
+        first example of a batch into a ``ReviewSummary`` — the trainer
+        calls this at summary/validation triggers (mirrors reference
+        ``model.py:692-752`` and the VAD-overlay mask images of
+        ``loss.py:148-169``)."""
+        name = self.enhancer.name
+        sr = getattr(self.reader, 'sample_rate', 16000)
+
+        def first(x):  # leading batch entry, host-side
+            x = np.asarray(x)
+            return x[0] if x.ndim else x
+
+        if out.time_estimate is not None:
+            est = first(out.time_estimate)
+            summary.add_audio(f'{name}_audio_est', est.reshape(
+                -1, est.shape[-1])[0], sr)
+        if 'observation' in ex:
+            obs = first(ex['observation'])
+            summary.add_audio(f'{name}_audio_observation',
+                              obs.reshape(-1, obs.shape[-1])[0], sr)
+        if 'Observation' in ex:
+            o = first(ex['Observation'])
+            summary.add_stft_image(
+                f'{name}_Observation_stft', o.reshape(
+                    (-1,) + o.shape[-2:])[0])
+        elif 'observation' in ex and hasattr(self.fe, 'stft'):
+            # Training batches carry the waveform only (the STFT happens
+            # inside jit); recompute the first example host-side.
+            o = np.asarray(self.fe.stft(first(ex['observation'])))
+            summary.add_stft_image(
+                f'{name}_Observation_stft',
+                o.reshape((-1,) + o.shape[-2:])[0])
+        if out.stft_estimate is not None:
+            e = first(out.stft_estimate)
+            summary.add_stft_image(
+                f'{name}_stft_estimate', e.reshape((-1,) + e.shape[-2:])[0])
+        if out.mask is not None:
+            mask = first(out.mask)              # (spk, nmask, T, F) or (spk, nmask, T, 1)
+            vad = None
+            if 'Vad' in ex:
+                vad = first(ex['Vad'])          # (spk, T_frames)
+            for s in range(min(mask.shape[0], max_speakers)):
+                m = mask[s].reshape((-1,) + mask.shape[-2:])[0]  # (T, F)
+                if m.ndim == 1:   # 't' resolution: per-frame activity
+                    m = m[:, None]
+                img = m
+                if vad is not None and vad.shape[-1] == m.shape[0]:
+                    # VAD-target stripe composited next to the mask
+                    # (reference loss.py:148-169).
+                    width = max(4, m.shape[1] // 16)
+                    sep = np.full((m.shape[0], 2), 0.5, m.dtype)
+                    stripe = np.repeat(
+                        vad[s].astype(m.dtype)[:, None], width, axis=1)
+                    img = np.concatenate([m, sep, stripe], axis=1)
+                summary.add_mask_image(f'mask_spk{s}', img)
+
     def snapshots(self, ex, out: ForwardOutput):
         """Audio/image payloads mirroring reference ``model.py:692-752``."""
         snaps = {}
