@@ -35,11 +35,25 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     if _initialized:
         return
     if num_processes is None and coordinator_address is None:
-        # Single host or TPU-pod auto-configuration.
-        try:
-            jax.distributed.initialize()
-        except Exception:  # noqa: BLE001 - single-process fallback
-            pass
+        # TPU-pod auto-configuration; plain single-host runs (no rendezvous
+        # environment) skip the call instead of noisily failing it.
+        import os
+        pod_env = any(v in os.environ for v in (
+            'JAX_COORDINATOR_ADDRESS', 'COORDINATOR_ADDRESS',
+            'MEGASCALE_COORDINATOR_ADDRESS'))
+        # TPU_WORKER_HOSTNAMES with >1 entry implies a pod slice.
+        hostnames = os.environ.get('TPU_WORKER_HOSTNAMES', '')
+        pod_env = pod_env or len([h for h in hostnames.split(',') if h]) > 1
+        if pod_env:
+            try:
+                jax.distributed.initialize()
+            except Exception as e:  # noqa: BLE001 - fallback, but loud
+                import warnings
+                warnings.warn(
+                    f'jax.distributed.initialize() failed ({e!r}); '
+                    f'continuing single-process. Multi-host runs must set '
+                    f'the coordinator explicitly.', RuntimeWarning,
+                    stacklevel=2)
     else:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

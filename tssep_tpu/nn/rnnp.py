@@ -110,9 +110,24 @@ DEFAULT_IMPL = os.environ.get('TSSEP_LSTM_IMPL', 'auto')
 
 _auto_impl_cache = None
 
+#: Session-wide override (e.g. the Trainer fences the Pallas backend to
+#: 'scan' under a model-parallel mesh: the fused kernel is written for
+#: unsharded/batch-local operands, while XLA's SPMD partitioner handles the
+#: gate-dim-sharded matmuls of the scan path natively).
+_FORCED_IMPL = None
+
+
+def force_impl(impl):
+    """Force the recurrence backend ('scan'/'pallas'); ``None`` clears."""
+    global _FORCED_IMPL
+    assert impl in (None, 'scan', 'pallas'), impl
+    _FORCED_IMPL = impl
+
 
 def _resolve_impl(impl):
     global _auto_impl_cache
+    if _FORCED_IMPL is not None:
+        return _FORCED_IMPL
     if impl != 'auto':
         return impl
     if _auto_impl_cache is None:

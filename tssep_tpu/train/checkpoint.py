@@ -37,10 +37,18 @@ def _path_str(path) -> str:
     return '.'.join(parts)
 
 
+def _to_host(leaf) -> np.ndarray:
+    """Fetch one leaf to host, gathering cross-process shards if needed."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(leaf))
+    return np.asarray(leaf)
+
+
 def params_to_named(params) -> dict:
     """Flatten a params pytree into {dotted_name: np.ndarray}."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    return {_path_str(path): np.asarray(leaf) for path, leaf in flat}
+    return {_path_str(path): _to_host(leaf) for path, leaf in flat}
 
 
 def named_to_params(named: dict, template):
@@ -69,7 +77,7 @@ def save_checkpoint(ckpt_dir, iteration, params, opt_state=None, meta=None,
         payload[f'model/{name}'] = arr
     if opt_state is not None:
         for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
-            payload[f'opt/{i:05d}'] = np.asarray(leaf)
+            payload[f'opt/{i:05d}'] = _to_host(leaf)
     meta = dict(meta or {})
     meta['iteration'] = int(iteration)
     payload['__meta__'] = np.frombuffer(

@@ -27,6 +27,7 @@ class Experiment(Configurable):
             'stop_trigger': [5_000_000 // virtual_minibatch_size, 'iteration'],
             'virtual_minibatch_size': virtual_minibatch_size,
             'optimizer': {'factory': Adam, 'gradient_clipping': 10},
+            'mesh': None,
         }
         config['init_ckpt'] = {'factory': InitCheckPoint}
 
@@ -68,6 +69,13 @@ class Experiment(Configurable):
 
     def train(self):
         trainer = self.trainer
+
+        if trainer.mesh_config is not None:
+            # Multi-host rendezvous must precede any other device use on TPU
+            # pods; a single-process run proceeds unchanged.
+            from tssep_tpu.dist import multihost
+            multihost.initialize()
+
         checkpoint_path = trainer.checkpoint_dir / 'ckpt_latest.npz'
         resume = checkpoint_path.is_file()
 
@@ -75,12 +83,25 @@ class Experiment(Configurable):
         if not resume:
             self.init_ckpt(self)
 
+        dp = trainer.data_parallel_size
+        device = False if trainer.mesh_config is not None else None
+        if dp > 1:
+            for name, bs in (('train_batchsize', self.train_batchsize),
+                             ('validation_batchsize',
+                              self.validation_batchsize)):
+                if bs is None or bs % dp != 0:
+                    raise ValueError(
+                        f'{name}={bs} must be set and divisible by the mesh '
+                        f'data axis ({dp})')
+
         # Pre-flight: sorted (longest-first) datasets so OOM hits now, not at
-        # hour 30 (reference model.py:199-219 rationale).
+        # hour 30 (reference model.py:199-219 rationale).  Batch size covers
+        # the mesh data axis so the sharded step compiles here too.
         test_run_train_ds = trainer.model.prepare_train_dataset(
-            prefetch=False, sort=True, batch_size=1)
+            prefetch=False, sort=True, batch_size=max(1, dp), device=device)
         test_run_validation_ds = trainer.model.prepare_validate_dataset(
-            prefetch=False, sort=True, batch_size=self.validation_batchsize)
+            prefetch=False, sort=True, batch_size=self.validation_batchsize,
+            device=device)
         self.add_log_files(
             test_run_train_dataset=repr(test_run_train_ds),
             test_run_validation_dataset=repr(test_run_validation_ds),
@@ -91,10 +112,25 @@ class Experiment(Configurable):
         del test_run_train_ds, test_run_validation_ds
         print('Finished test run')
 
+        # Multi-host: each host pipelines its round-robin example share and
+        # batches global_batchsize/process_count of it; the Trainer assembles
+        # the global sharded batch (dist.multihost.global_batch_from_local).
+        import jax
+        n_proc = jax.process_count()
+        host_shard = trainer.mesh_config is not None and n_proc > 1
+        train_bs, validation_bs = self.train_batchsize, \
+            self.validation_batchsize
+        if host_shard:
+            assert train_bs % n_proc == 0, (train_bs, n_proc)
+            assert validation_bs % n_proc == 0, (validation_bs, n_proc)
+            train_bs //= n_proc
+            validation_bs //= n_proc
         validation_ds = trainer.model.prepare_validate_dataset(
-            prefetch=True, batch_size=self.validation_batchsize)
+            prefetch=True, batch_size=validation_bs, device=device,
+            host_shard=host_shard)
         train_ds = trainer.model.prepare_train_dataset(
-            prefetch=True, batch_size=self.train_batchsize)
+            prefetch=True, batch_size=train_bs, device=device,
+            host_shard=host_shard, drop_last=dp > 1)
         if self.cache_datasets_on_device:
             print('Caching datasets on device ...')
             validation_ds = validation_ds.copy(freeze=True)

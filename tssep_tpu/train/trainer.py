@@ -11,6 +11,22 @@ reference which must max out its tolerances, ``experiment.py:281-290``).
 
 The hot path is one jitted ``value_and_grad`` + optax update with donated
 buffers; batches stream from the host pipeline.
+
+Distributed training (new vs the reference, whose only multi-device line is
+``torch.nn.DataParallel``, reference ``experiment.py:313-314``): pass
+``mesh={'data': D, 'model': M}`` (``data=None`` -> all remaining devices) and
+the Trainer trains SPMD over a ``jax.sharding.Mesh``:
+
+- parameters are placed via ``dist.mesh.shard_params`` (replicated for pure
+  data-parallel; gate-dim sharded over ``'model'`` when M>1),
+- every batch is sharded over ``'data'`` (``dist.mesh.shard_batch``
+  single-process, ``dist.multihost.global_batch_from_local`` multi-host),
+- with the Pallas recurrence backend the step runs under ``shard_map``
+  (each device executes the fused kernel on its local batch shard; grads
+  are ``psum``-ed over ``'data'``); with the scan backend the step is plain
+  ``jit`` and XLA's SPMD partitioner inserts the collectives,
+- ``model>1`` forces the scan backend (the fused kernel is not
+  partition-aware; XLA handles the sharded gate matmuls natively).
 """
 
 from __future__ import annotations
@@ -46,6 +62,47 @@ def _trigger(value):
     return int(value)
 
 
+class _ShardMapCaller:
+    """jit(shard_map(step)) with per-batch-structure spec derivation.
+
+    ``args = (*state, batch, key)``: state (params/opt) and key are
+    replicated; every batch leaf with ndim>=1 is sharded over 'data' on its
+    leading axis.  ``out_specs``: everything replicated except the last
+    output (aux: per-example values), which is stitched over 'data'.
+    The compiled callable is cached per batch tree structure.
+    """
+
+    def __init__(self, fn, mesh, n_state, n_replicated_out, donate=False):
+        self.fn = fn
+        self.mesh = mesh
+        self.n_state = n_state
+        self.n_replicated_out = n_replicated_out
+        self.donate = donate
+        self._cache = {}
+
+    def __call__(self, *args):
+        from jax.sharding import PartitionSpec as P
+        from tssep_tpu.dist.mesh import DATA_AXIS
+        shard_map = jax.shard_map
+        batch = args[self.n_state]
+        bspec = jax.tree_util.tree_map(
+            lambda x: (P(DATA_AXIS) if getattr(x, 'ndim', 0) >= 1 else P()),
+            batch)
+        cache_key = jax.tree_util.tree_structure(bspec)
+        fn_c = self._cache.get(cache_key)
+        if fn_c is None:
+            in_specs = tuple([P()] * self.n_state) + (bspec, P())
+            out_specs = tuple([P()] * self.n_replicated_out) + (P(DATA_AXIS),)
+            mapped = shard_map(self.fn, mesh=self.mesh, in_specs=in_specs,
+                               out_specs=out_specs, check_vma=False)
+            fn_c = jax.jit(
+                mapped,
+                donate_argnums=tuple(range(self.n_state))
+                if self.donate else ())
+            self._cache[cache_key] = fn_c
+        return fn_c(*args)
+
+
 def _array_part(ex):
     """Split an example dict into (jit-able arrays, host-only meta)."""
     arrays, meta = {}, {}
@@ -65,7 +122,7 @@ class Trainer(Configurable):
                  checkpoint_trigger=(1000, 'iteration'),
                  stop_trigger=(416666, 'iteration'),
                  virtual_minibatch_size=1,
-                 seed=0):
+                 seed=0, mesh=None, create_snapshots=True):
         if isinstance(model, dict):
             model = from_config(model)
         if optimizer is None:
@@ -81,6 +138,11 @@ class Trainer(Configurable):
         self.stop_trigger = _trigger(stop_trigger)
         self.virtual_minibatch_size = int(virtual_minibatch_size)
         self.seed = seed
+        #: Emit audio/spectrogram/mask-image payloads at summary and
+        #: validation triggers (reference ``model.py:692-752``).
+        self.create_snapshots = bool(create_snapshots)
+        #: None (single device) or {'data': D|None, 'model': M}.
+        self.mesh_config = dict(mesh) if mesh else None
 
         self.params = None
         self.opt_state = None
@@ -90,44 +152,179 @@ class Trainer(Configurable):
         self._tx = None
         self._update_fn = None
         self._writer = None
+        self._snap_fn = None
+        self.mesh = None
+        self._use_shard_map = False
 
     # ------------------------------------------------------------------
     @property
     def checkpoint_dir(self):
         return self.storage_dir / 'checkpoints'
 
+    @property
+    def data_parallel_size(self):
+        """Batch-divisibility requirement imposed by the mesh (1 if none)."""
+        if self.mesh_config is None:
+            return 1
+        self._ensure_mesh()
+        from tssep_tpu.dist.mesh import DATA_AXIS
+        return self.mesh.shape[DATA_AXIS]
+
+    def _ensure_mesh(self):
+        if self.mesh_config is None or self.mesh is not None:
+            return
+        from tssep_tpu.dist import mesh as mesh_lib
+        from tssep_tpu.nn import rnnp
+        model_par = int(self.mesh_config.get('model', 1) or 1)
+        data_par = self.mesh_config.get('data')
+        n_devices = (None if data_par in (None, -1, 'all')
+                     else int(data_par) * model_par)
+        self.mesh = mesh_lib.make_mesh(n_devices, model_parallel=model_par)
+        impl = rnnp._resolve_impl(rnnp.DEFAULT_IMPL)
+        if model_par > 1 and impl == 'pallas':
+            # The fused kernel operates on unsharded (batch-local) operands;
+            # under tensor parallelism XLA must partition the gate matmuls,
+            # which only the scan path expresses in partitionable HLO.
+            rnnp.force_impl('scan')
+            impl = 'scan'
+        self._use_shard_map = (
+            impl == 'pallas'
+            or bool(self.mesh_config.get('shard_map', False)))
+        if self._use_shard_map and model_par > 1:
+            raise ValueError(
+                'shard_map path is data-parallel only (model axis must be 1)')
+
+    def _place_batch(self, arrays):
+        """Device placement for one batch (mesh-sharded when configured)."""
+        if self.mesh is None:
+            return arrays
+        from tssep_tpu.dist import multihost
+        from tssep_tpu.dist.mesh import shard_batch, DATA_AXIS
+        data_size = self.mesh.shape[DATA_AXIS]
+        for k, v in arrays.items():
+            if hasattr(v, 'ndim') and v.ndim >= 1 \
+                    and v.shape[0] % data_size != 0:
+                raise ValueError(
+                    f'Batch axis of {k!r} ({v.shape[0]}) must be divisible '
+                    f'by the mesh data axis ({data_size}); adjust '
+                    f'train/validation batch size.')
+        if multihost.is_initialized() and jax.process_count() > 1:
+            return multihost.global_batch_from_local(arrays, self.mesh)
+        return shard_batch(arrays, self.mesh)
+
     def ensure_init(self):
+        self._ensure_mesh()
         if self.params is None:
             self.params = self.model.init_params(
                 jax.random.PRNGKey(self.seed))
+            if self.mesh is not None:
+                from tssep_tpu.dist.mesh import shard_params
+                self.params = shard_params(self.params, self.mesh)
         if self._tx is None:
             self._tx = self.optimizer.make(self.virtual_minibatch_size)
         if self.opt_state is None:
-            self.opt_state = self._tx.init(self.params)
+            # Under a mesh, jit propagates the param shardings to the state;
+            # leaves born inside init (e.g. the step counter) come out on a
+            # single device and are re-placed replicated over the mesh.
+            if self.mesh is not None:
+                from jax.sharding import (
+                    NamedSharding, PartitionSpec, SingleDeviceSharding)
+                opt_state = jax.jit(self._tx.init)(self.params)
+                replicated = NamedSharding(self.mesh, PartitionSpec())
+                self.opt_state = jax.tree_util.tree_map(
+                    lambda x: (jax.device_put(x, replicated)
+                               if isinstance(getattr(x, 'sharding', None),
+                                             SingleDeviceSharding) else x),
+                    opt_state)
+            else:
+                self.opt_state = self._tx.init(self.params)
         if self._update_fn is None:
             model = self.model
             tx = self._tx
 
-            def update(params, opt_state, batch, key):
-                (loss, aux), grads = jax.value_and_grad(
-                    model.loss_fn, has_aux=True)(params, batch, key, True)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = jax.tree_util.tree_map(
-                    lambda p, u: p + u, params, updates)
-                return params, opt_state, loss, aux
+            if self._use_shard_map:
+                from tssep_tpu.dist.mesh import DATA_AXIS
 
-            self._update_fn = jax.jit(update, donate_argnums=(0, 1))
+                def sharded_update(params, opt_state, batch, key):
+                    (loss, aux), grads = jax.value_and_grad(
+                        model.loss_fn, has_aux=True)(
+                        params, batch, key, True)
+                    grads = jax.lax.psum(grads, DATA_AXIS)
+                    loss = jax.lax.psum(loss, DATA_AXIS)
+                    updates, opt_state = tx.update(grads, opt_state, params)
+                    params = jax.tree_util.tree_map(
+                        lambda p, u: p + u, params, updates)
+                    return params, opt_state, loss, aux['per_example_loss']
 
-            def eval_loss(params, batch, key):
-                return model.loss_fn(params, batch, key, False)
+                def sharded_eval(params, batch, key):
+                    loss, aux = model.loss_fn(params, batch, key, False)
+                    return (jax.lax.psum(loss, DATA_AXIS),
+                            aux['per_example_loss'])
 
-            self._eval_fn = jax.jit(eval_loss)
+                _update = _ShardMapCaller(sharded_update, self.mesh,
+                                          n_state=2, n_replicated_out=3,
+                                          donate=True)
+                _eval = _ShardMapCaller(sharded_eval, self.mesh,
+                                        n_state=1, n_replicated_out=1)
+                self._update_fn = lambda p, o, b, k: (
+                    lambda r: (r[0], r[1], r[2],
+                               {'per_example_loss': r[3]}))(_update(p, o, b, k))
+                self._eval_fn = lambda p, b, k: (
+                    lambda r: (r[0], {'per_example_loss': r[1]}))(_eval(p, b, k))
+            else:
+                def update(params, opt_state, batch, key):
+                    (loss, aux), grads = jax.value_and_grad(
+                        model.loss_fn, has_aux=True)(params, batch, key, True)
+                    updates, opt_state = tx.update(grads, opt_state, params)
+                    params = jax.tree_util.tree_map(
+                        lambda p, u: p + u, params, updates)
+                    return params, opt_state, loss, aux
+
+                def eval_loss(params, batch, key):
+                    return model.loss_fn(params, batch, key, False)
+
+                self._update_fn = jax.jit(update, donate_argnums=(0, 1))
+                self._eval_fn = jax.jit(eval_loss)
 
     @property
     def writer(self):
         if self._writer is None:
             self._writer = SummaryWriter(self.storage_dir)
         return self._writer
+
+    # ------------------------------------------------------------------
+    def _add_snapshots(self, arrays, summary, key):
+        """Run one snapshot forward (forward + istft, no grad) on a batch
+        and push audio/image payloads into ``summary`` (reference
+        ``model.py:692-752``).  Failures are loud-but-nonfatal: they are
+        recorded as a scalar, never silently dropped."""
+        if not self.create_snapshots or not hasattr(self.model,
+                                                    'add_snapshots'):
+            return
+        model = self.model
+        if self._snap_fn is None:
+            def snap_forward(params, batch, key):
+                out = model.forward(params, batch, rng=key, training=False)
+                if (out.stft_estimate is not None and 'observation' in batch
+                        and hasattr(model.fe, 'istft')):
+                    out.time_estimate = model.fe.istft(
+                        out.stft_estimate,
+                        num_samples=batch['observation'].shape[-1])
+                return out
+            self._snap_fn = jax.jit(snap_forward)
+        try:
+            if self.mesh is not None:
+                # Snapshots picture one example; run unsharded on the
+                # default device from host copies.
+                host = {k: np.asarray(v) if hasattr(v, 'shape') else v
+                        for k, v in arrays.items()}
+                out = self._snap_fn(jax.device_get(self.params), host, key)
+            else:
+                out = self._snap_fn(self.params, arrays, key)
+            model.add_snapshots(arrays, jax.device_get(out), summary)
+        except Exception as e:  # noqa: BLE001 - observability must not kill training
+            summary.add_scalar('snapshot_errors', 1.0)
+            print(f'snapshot failed: {e!r}')
 
     # ------------------------------------------------------------------
     def register_validation_hook(self, validation_ds, max_checkpoints=None):
@@ -143,7 +340,12 @@ class Trainer(Configurable):
         losses = []
         for i, ex in enumerate(self._validation_ds):
             arrays, meta = _array_part(ex)
+            arrays = self._place_batch(arrays)
             key, sub = jax.random.split(key)
+            if i == 0:
+                # Rich snapshots (audio, spectrograms, masks w/ VAD
+                # overlay) for the first validation batch.
+                self._add_snapshots(arrays, summary, sub)
             loss_sum, aux = self._eval_fn(self.params, arrays, sub)
             per_example = np.atleast_1d(np.asarray(aux['per_example_loss']))
             losses.extend(per_example.tolist())
@@ -182,6 +384,7 @@ class Trainer(Configurable):
             for ds, training in ((train_ds, True), (validation_ds, False)):
                 for ex in itertools.islice(iter(ds), 2):
                     arrays, _ = _array_part(ex)
+                    arrays = self._place_batch(arrays)
                     key, sub = jax.random.split(key)
                     if training:
                         loss, gn = grad_norm(arrays, sub)
@@ -202,6 +405,8 @@ class Trainer(Configurable):
 
     # ------------------------------------------------------------------
     def save(self, best=False):
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return None  # leaves are gathered by params_to_named on host 0
         return ckpt_lib.save_checkpoint(
             self.checkpoint_dir, self.iteration, self.params,
             opt_state=self.opt_state,
@@ -214,7 +419,17 @@ class Trainer(Configurable):
             path, params_template=self.params,
             opt_state_template=self.opt_state)
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        if self.mesh is not None:
+            from tssep_tpu.dist.mesh import shard_params
+            self.params = shard_params(self.params, self.mesh)
         if opt_state is not None:
+            if self.mesh is not None and self.opt_state is not None:
+                # Re-place each restored leaf with the sharding its
+                # freshly-initialized counterpart had (jit(tx.init) above).
+                opt_state = jax.tree_util.tree_map(
+                    lambda new, old: (jax.device_put(new, old.sharding)
+                                      if isinstance(old, jax.Array) else new),
+                    opt_state, self.opt_state)
             self.opt_state = opt_state
         self.iteration = int(meta.get('iteration', 0))
         self.best_validation_loss = float(
@@ -258,6 +473,7 @@ class Trainer(Configurable):
             for k in range(vmb):
                 ex = next(data)
                 arrays, meta = _array_part(ex)
+                arrays = self._place_batch(arrays)
                 key = jax.random.fold_in(
                     jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                        self.iteration), k)
@@ -277,6 +493,10 @@ class Trainer(Configurable):
                 elapsed = time.time() - t_start
                 summary.add_scalar('examples_per_second',
                                    examples_seen / max(elapsed, 1e-9))
+                # Rich snapshots of the last training batch (reference
+                # gates the same payloads on create_snapshot at summary
+                # intervals, model.py:692-752).
+                self._add_snapshots(arrays, summary, key)
                 self.writer.flush(summary, self.iteration, prefix='train/')
                 summary = ReviewSummary()
 
