@@ -99,12 +99,20 @@ class SummaryWriter:
             record[prefix + 'loss'] = summary.loss / summary.loss_count
         for name, values in summary.scalars.items():
             record[prefix + name] = float(np.mean(values))
+        # Payload names only (the payloads go to tfevents): greppable
+        # evidence that snapshots were emitted.
+        if summary.audios:
+            record[prefix + 'audio_keys'] = sorted(
+                prefix + k for k in summary.audios)
+        if summary.images:
+            record[prefix + 'image_keys'] = sorted(
+                prefix + k for k in summary.images)
         self.jsonl.write(json.dumps(record) + '\n')
         self.jsonl.flush()
 
         if self.tb is not None:
             for k, v in record.items():
-                if k in ('step', 'time'):
+                if k in ('step', 'time') or not isinstance(v, (int, float)):
                     continue
                 self.tb.add_scalar(k, v, step)
             for name, values in summary.histograms.items():
