@@ -124,13 +124,8 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None):
 
 
 def main(argv=None):
-    import os
-    if os.environ.get('JAX_PLATFORMS'):
-        import jax
-        try:
-            jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
-        except Exception:  # noqa: BLE001
-            pass
+    from tssep_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     if argv is None:
         argv = sys.argv[1:]
     _, files, overrides = parse_argv(argv)

@@ -146,13 +146,10 @@ def train(config):
 
 def main(argv=None):
     # Honor JAX_PLATFORMS even when a site customization force-registered a
-    # different backend (e.g. tests forcing cpu).
-    if os.environ.get('JAX_PLATFORMS'):
-        import jax
-        try:
-            jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
-        except Exception:  # noqa: BLE001 - backend already initialized
-            pass
+    # different backend (e.g. tests forcing cpu) — without clobbering an
+    # explicit in-process jax.config.update by the caller.
+    from tssep_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     if argv is None:
         argv = sys.argv[1:]
     command, files, overrides = parse_argv(argv)
