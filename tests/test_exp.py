@@ -215,3 +215,25 @@ def test_eval_cli(tmp_path):
     assert (out_dir / 'metrics.json').exists()
     wavs = list((out_dir / 'audio').glob('*.wav'))
     assert len(wavs) == 2 * 8  # 2 recordings x 8 speakers
+
+
+def test_checkpoint_retention(tmp_path):
+    """max_checkpoints prunes numbered checkpoints, keeping best/latest
+    targets (reference checkpoint bookkeeping, ``experiment.py:224``)."""
+    config = _load_reduced('init_cfg_tsvad.yaml', tmp_path / 'tsvad')
+    nv = NestedView(config)
+    nv['eg.trainer.stop_trigger'] = [5, 'iteration']
+    config['eg']['max_checkpoints'] = 2
+    eg: Experiment = from_config(Experiment.get_config(config['eg']))
+    eg.train()
+    ckpt_dir = tmp_path / 'tsvad' / 'checkpoints'
+    latest = (ckpt_dir / 'ckpt_latest.npz').resolve()
+    best = (ckpt_dir / 'ckpt_best_loss.npz').resolve()
+    assert latest.exists() and best.exists()
+    numbered = [p for p in ckpt_dir.glob('ckpt_*.npz')
+                if p.stem.split('_')[-1].isdigit()]
+    # at most 2 numbered kept, plus the best target if it is older
+    extra = {best.name} - {p.name for p in sorted(
+        numbered, key=lambda p: int(p.stem.split('_')[-1]))[-2:]}
+    assert len(numbered) <= 2 + len(extra)
+    assert latest.name in {p.name for p in numbered}

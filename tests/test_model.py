@@ -185,3 +185,53 @@ def test_shape_report(toy_model):
     report = shape_report(toy_model, params, ex)
     assert 'pre_net' in report and 'mask' in report
     assert '(1, 316, 513)' in report  # feature shape
+
+
+def test_loss_weights_mapping(tmp_path):
+    """Trainer(loss_weights=...) maps component weights onto the joint
+    loss (padertorch ``loss_weights`` equivalent)."""
+    import jax.numpy as jnp
+    from tssep_tpu.train.trainer import Trainer
+    model = Model.new({
+        'fe': {'size': 64, 'shift': 32, 'window_length': 64},
+        'reader': {'sample_rate': 32, 'aux_size': 33},
+        'mask_estimator': {'units': 2, 'projs': 3, 'combination': 'mul',
+                           'ts_vad': 8, 'aux_net_output_size': 33,
+                           'explicit_vad': True, 'output_resolution': 'tf'},
+        'loss': {'factory':
+                 'tssep_tpu.tasks.losses.SignalAndVADSigmoidBCE',
+                 'target': 'Vad',
+                 'signal_loss': {'factory': 'tssep_tpu.tasks.losses.LogMAE',
+                                 'target':
+                                 'speaker_reverberation_early_ch0'}},
+    })
+    trainer = Trainer(model, tmp_path,
+                      loss_weights={'vad': 2.0, 'signal': 0.5})
+    trainer.ensure_init()
+    assert model.loss.vad_weight == 2.0
+    assert model.loss.signal_weight == 0.5
+
+    # Functional check: weights actually scale the components.
+    params = trainer.params
+    ds = model.prepare_train_dataset(prefetch=False, batch_size=2)
+    ex = next(iter(ds))
+    arrays = {k: v for k, v in ex.items()
+              if hasattr(v, 'shape') or k == 'reference_channel'}
+    rng = jax.random.PRNGKey(1)
+    weighted, _ = model.loss_fn(params, arrays, rng=rng)
+    model.loss.vad_weight, model.loss.signal_weight = 1.0, 1.0
+    base, _ = model.loss_fn(params, arrays, rng=rng)
+    model.loss.vad_weight, model.loss.signal_weight = 1.0, 0.0
+    vad_only, _ = model.loss_fn(params, arrays, rng=rng)
+    model.loss.vad_weight, model.loss.signal_weight = 0.0, 1.0
+    sig_only, _ = model.loss_fn(params, arrays, rng=rng)
+    np.testing.assert_allclose(
+        float(base), float(vad_only) + float(sig_only), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(weighted), 2.0 * float(vad_only) + 0.5 * float(sig_only),
+        rtol=1e-5)
+
+    # Unknown component name is rejected loudly.
+    t2 = Trainer(model, tmp_path, loss_weights={'nope': 1.0})
+    with pytest.raises(ValueError):
+        t2.ensure_init()

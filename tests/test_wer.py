@@ -1,0 +1,110 @@
+"""WER / cpWER / ORC-WER harness tests (synthetic transcript pairs)."""
+
+import numpy as np
+import pytest
+
+from tssep_tpu.eval.wer import (
+    FunctionTranscriber, WerResult, cp_wer, normalize_transcript, orc_wer,
+    wer,
+)
+
+
+def test_wer_identity():
+    r = wer('the quick brown fox', 'the quick brown fox')
+    assert r.errors == 0 and r.length == 4 and r.error_rate == 0.0
+
+
+def test_wer_substitution():
+    r = wer('the quick brown fox', 'the quick red fox')
+    assert (r.errors, r.substitutions, r.insertions, r.deletions) \
+        == (1, 1, 0, 0)
+    assert r.error_rate == pytest.approx(0.25)
+
+
+def test_wer_insert_delete():
+    r = wer('a b c', 'a b c d e')
+    assert (r.errors, r.insertions) == (2, 2)
+    r = wer('a b c d e', 'a c e')
+    assert (r.errors, r.deletions) == (2, 2)
+
+
+def test_wer_mixed_known_value():
+    # ref 6 words; hyp: 1 sub + 1 del + 1 ins = 3 errors
+    r = wer('one two three four five six', 'one TWO2 three five six seven')
+    assert r.errors == 3
+    assert r.error_rate == pytest.approx(0.5)
+
+
+def test_wer_normalization():
+    assert normalize_transcript("Hello, world! it's me.") \
+        == ['HELLO', 'WORLD', "IT'S", 'ME']
+    assert wer('Hello, World!', 'hello world').errors == 0
+
+
+def test_wer_empty():
+    assert wer('', '').error_rate == 0.0
+    assert wer('', 'a b').errors == 2
+    assert wer('a b', '').errors == 2
+
+
+def test_wer_result_add():
+    total = wer('a b', 'a x') + wer('c d', 'c d y')
+    assert total.errors == 2 and total.length == 4
+    assert total.error_rate == pytest.approx(0.5)
+
+
+def test_cp_wer_permutation_recovery():
+    refs = ['alpha beta gamma', 'delta epsilon', 'zeta eta theta iota']
+    # hypotheses in a different speaker order, one error in each
+    hyps = ['zeta eta XXX iota',          # -> ref 2 (1 sub)
+            'alpha beta gamma extra',     # -> ref 0 (1 ins)
+            'delta']                      # -> ref 1 (1 del)
+    result, assignment = cp_wer(refs, hyps, return_assignment=True)
+    assert assignment == {0: 2, 1: 0, 2: 1}
+    assert result.errors == 3
+    assert result.length == 9
+    assert result.error_rate == pytest.approx(3 / 9)
+
+
+def test_cp_wer_utterance_lists():
+    refs = [['hello there', 'general kenobi'], ['you are', 'a bold one']]
+    hyps = [['you are a bold one'], ['hello there general kenobi']]
+    result = cp_wer(refs, hyps)
+    assert result.errors == 0
+
+
+def test_cp_wer_unequal_speaker_counts():
+    # extra hypothesis speaker -> all its words are insertions
+    result = cp_wer(['a b c'], ['a b c', 'x y'])
+    assert result.errors == 2 and result.length == 3
+    # missing hypothesis speaker -> deletions
+    result = cp_wer(['a b c', 'x y'], ['a b c'])
+    assert result.errors == 2 and result.length == 5
+
+
+def test_orc_wer_segments():
+    refs = ['a b c d', 'x y z']
+    segs = ['a b', 'x y', 'c d', 'z']
+    result = orc_wer(refs, segs)
+    assert result.errors == 0
+    # one corrupted segment
+    result = orc_wer(refs, ['a b', 'x QQQ', 'c d', 'z'])
+    assert result.errors == 1
+    assert result.length == 7
+
+
+def test_orc_wer_beats_naive_channel():
+    # Interleaved segments that a fixed channel split would score badly
+    refs = ['a a a', 'b b b']
+    segs = ['a', 'b', 'a', 'b', 'a', 'b']
+    assert orc_wer(refs, segs).errors == 0
+
+
+def test_orc_wer_guard():
+    with pytest.raises(ValueError):
+        orc_wer(['a'] * 8, ['x'] * 10)
+
+
+def test_function_transcriber():
+    t = FunctionTranscriber(lambda s, sr: 'hello world')
+    assert t(np.zeros(16000), 16000) == 'hello world'

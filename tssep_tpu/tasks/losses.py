@@ -259,13 +259,17 @@ class SignalAndVADSigmoidBCE(VADSigmoidBCE):
     """Joint signal + VAD loss for ``explicit_vad`` heads (``loss.py:348``)."""
 
     def __init__(self, signal_loss: TimeDomain, target='Vad', pit=False,
-                 magnitude_threshold=0.05):
+                 magnitude_threshold=0.05, vad_weight=1.0, signal_weight=1.0):
         super().__init__(target=target, pit=pit,
                          magnitude_threshold=magnitude_threshold)
         if isinstance(signal_loss, dict):
             from tssep_tpu.config.configurable import from_config
             signal_loss = from_config(signal_loss)
         self.signal_loss = signal_loss
+        #: Component weights (padertorch ``loss_weights`` equivalent; the
+        #: Trainer maps {'vad': w, 'signal': w} onto these).
+        self.vad_weight = float(vad_weight)
+        self.signal_weight = float(signal_weight)
 
     def targets(self, lower=False, upper=False):
         return (super().targets(lower=lower, upper=upper)
@@ -280,4 +284,5 @@ class SignalAndVADSigmoidBCE(VADSigmoidBCE):
         signal_loss = self.signal_loss.from_ex_out(ex, out, model, summary)
         target = ex[self.target]
         estimate = jnp.squeeze(out.vad_logit[..., None], axis=-3)
-        return self(estimate, target) + signal_loss
+        return (self.vad_weight * self(estimate, target)
+                + self.signal_weight * signal_loss)

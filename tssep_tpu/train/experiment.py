@@ -33,7 +33,8 @@ class Experiment(Configurable):
 
     def __init__(self, trainer, train_batchsize=None,
                  validation_batchsize=None, init_ckpt=None,
-                 init_ckpt_strict=True, cache_datasets_on_device=False):
+                 init_ckpt_strict=True, cache_datasets_on_device=False,
+                 max_checkpoints=None):
         #: Materialize the train/validation batches on the device once and
         #: cycle them (only batch ORDER reshuffles).  TPU-idiomatic for
         #: corpora that fit in HBM, and essential on hosts with slow
@@ -48,6 +49,9 @@ class Experiment(Configurable):
         self.validation_batchsize = validation_batchsize
         self.init_ckpt = init_ckpt if init_ckpt is not None else InitCheckPoint()
         self.init_ckpt_strict = init_ckpt_strict
+        #: Checkpoint retention: keep at most this many numbered
+        #: ``ckpt_<it>.npz`` (best/latest always kept); None keeps all.
+        self.max_checkpoints = max_checkpoints
 
     def load_model_state_dict(self, ckpt, strict=True):
         return InitCheckPoint(init_ckpt=str(ckpt),
@@ -135,7 +139,8 @@ class Experiment(Configurable):
             print('Caching datasets on device ...')
             validation_ds = validation_ds.copy(freeze=True)
             train_ds = train_ds.copy(freeze=True).shuffle(reshuffle=True)
-        trainer.register_validation_hook(validation_ds, max_checkpoints=None)
+        trainer.register_validation_hook(
+            validation_ds, max_checkpoints=self.max_checkpoints)
 
         # Shape/parameter report (the reference's tracker table equivalent)
         from tssep_tpu.train.track import cost_analysis_report, model_report
