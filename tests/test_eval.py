@@ -72,11 +72,12 @@ class TestClassicBF:
         assert out_sdr.min() > in_sdr.min() + 5.0
 
     # Quality bars: mvdr_souden/wmwf are the reference-pinned paths; the
-    # GEV variants are dispatch-complete but not quality-pinned by the
-    # reference (enhancer.py:497-506 only routes them) -> looser bar.
+    # GEV variants reach mvdr-class SDR via the Rn·w ATF estimate with
+    # whitening loading (see ``beamformer.gev``) — bars pinned to
+    # measured 13.9/13.5 dB minus margin.
     @pytest.mark.parametrize('bf,min_sdr', [
         ('mvdr_souden', 5.0), ('wmwf', 5.0),
-        ('rank1_gev+mvdr_souden', -6.0), ('scaled_gev_atf+mvdr', -3.0)])
+        ('rank1_gev+mvdr_souden', 9.0), ('scaled_gev_atf+mvdr', 9.0)])
     def test_all_beamformers_run(self, toy, bf, min_sdr):
         enh = ClassicBF(bf=bf)
         est = enh(toy['mask'][:-1, None, :, :], toy['Observation'],
@@ -189,3 +190,63 @@ def test_wiener_like_mask():
     m = wiener_like_mask(sigs, sensor_axis=1)
     np.testing.assert_allclose(m[:, 0], [0.5, 0.5])
     np.testing.assert_allclose(m[:, 1], [0.0, 1.0])
+
+
+def test_bss_eval_permutation_mode():
+    """compute_permutation recovers swapped estimates (weak #5 fix)."""
+    from tssep_tpu.eval.metrics import bss_eval_sources_sdr
+    rng = np.random.default_rng(0)
+    refs = rng.normal(size=(2, 4000))
+    ests = np.stack([refs[1] + 0.01 * rng.normal(size=4000),
+                     refs[0] + 0.01 * rng.normal(size=4000)])
+    plain = bss_eval_sources_sdr(refs, ests, taps=32)
+    assert plain.max() < 5  # mismatched order scores badly
+    perm_sdr, perm = bss_eval_sources_sdr(
+        refs, ests, taps=32, compute_permutation=True,
+        return_permutation=True)
+    assert list(perm) == [1, 0]
+    assert perm_sdr.min() > 20
+
+
+class TestWPEJax:
+    def test_parity_with_numpy(self):
+        """On-device (real-block) WPE matches the host implementation."""
+        from tssep_tpu.eval.wpe import wpe, wpe_jax
+        rng = np.random.RandomState(3)
+        f, d, t = 5, 3, 120
+        s = rng.normal(size=(f, d, t)) + 1j * rng.normal(size=(f, d, t))
+        y = s.copy()
+        y[..., 4:] += 0.6 * s[..., :-4]
+        ref = wpe(y, taps=8, delay=2, iterations=2)
+        out = wpe_jax(y, taps=8, delay=2, iterations=2)
+        assert out.shape == y.shape
+        # f32 device math vs f64 host math
+        np.testing.assert_allclose(out, ref, rtol=0, atol=5e-3)
+
+    def test_reduces_late_reverb_on_device(self):
+        from tssep_tpu.eval.wpe import wpe_jax
+        rng = np.random.RandomState(1)
+        f, d, t = 4, 2, 400
+        s = rng.normal(size=(f, d, t)) + 1j * rng.normal(size=(f, d, t))
+        y = s.copy()
+        y[..., 5:] += 0.5 * s[..., :-5]
+        z = wpe_jax(y, taps=10, delay=2, iterations=3)
+        assert np.linalg.norm(z - s) < 0.6 * np.linalg.norm(y - s)
+
+    def test_tuple_device_form(self):
+        import jax.numpy as jnp
+        from tssep_tpu.eval.wpe import wpe_jax
+        rng = np.random.RandomState(0)
+        y = rng.normal(size=(3, 2, 50)) + 1j * rng.normal(size=(3, 2, 50))
+        xr, xi = wpe_jax((jnp.asarray(y.real, jnp.float32),
+                          jnp.asarray(y.imag, jnp.float32)), taps=4)
+        assert xr.shape == y[..., :].shape and xi.shape == y.shape
+
+    def test_wrapper_backend_jax(self):
+        from tssep_tpu.eval.wpe import WPE
+        rng = np.random.RandomState(0)
+        y = rng.normal(size=(3, 40, 5)) + 1j * rng.normal(size=(3, 40, 5))
+        ref = WPE(taps=4)(y)
+        out = WPE(taps=4, backend='jax')(y)
+        assert out.shape == y.shape
+        np.testing.assert_allclose(out, ref, atol=5e-3)

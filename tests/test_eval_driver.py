@@ -151,3 +151,25 @@ def test_calibrate_threshold():
     th, d = calibrate_threshold(acts, refs, smooth_kernel=1)
     assert 0.2 < th < 0.5
     assert d < 0.2
+
+
+def test_calibration_stats_additive():
+    """The per-threshold stats are the additive cross-host sufficient
+    statistic: summing two hosts' stats == computing on the union."""
+    from tssep_tpu.eval.driver import calibrate_threshold, calibration_stats
+    rng = np.random.default_rng(0)
+    refs = [rng.random((2, 60)) > 0.5 for _ in range(4)]
+    acts = [0.8 * r + 0.2 * rng.random(r.shape) for r in refs]
+    ths_a, err_a, tot_a = calibration_stats(acts[:2], refs[:2],
+                                            smooth_kernel=1)
+    ths_b, err_b, tot_b = calibration_stats(acts[2:], refs[2:],
+                                            smooth_kernel=1)
+    ths_u, err_u, tot_u = calibration_stats(acts, refs, smooth_kernel=1)
+    np.testing.assert_allclose(err_a + err_b, err_u, atol=1e-9)
+    np.testing.assert_allclose(tot_a + tot_b, tot_u, atol=1e-9)
+    # single-process cross_host path is a no-op
+    th1, d1 = calibrate_threshold(acts, refs, smooth_kernel=1,
+                                  cross_host=True)
+    th2, d2 = calibrate_threshold(acts, refs, smooth_kernel=1,
+                                  cross_host=False)
+    assert (th1, d1) == (th2, d2)

@@ -1,96 +1,81 @@
 """Micro-benchmark of the BLSTM recurrence on the real chip.
 
 Sweeps the Pallas kernel blocking (BATCH_BLOCK x TIME_BLOCK) at the
-flagship post-net dims (B=2048 folded speakers, T=316, H=300 -> 4H=1200)
-and prints ms per layer (fwd and fwd+bwd) for each point, plus the scan
-backend for comparison.
+flagship post-net dims (B=2048 folded speakers, T=316, H=300 -> 4H=1200),
+one subprocess per point (the kernel constants are module-level).
 
-Usage: python tools/bench_lstm.py [--quick]
+Usage:
+  python tools/bench_lstm.py              # run the sweep
+  python tools/bench_lstm.py --one        # single point from env, prints ms
 """
 
+import json
 import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
 
-
-def sync(x):
-    # Host transfer is the only true sync on the relay runtime.
-    return float(jnp.sum(x))
-
-
-def bench(fn, *args, iters=5):
-    out = fn(*args)
-    sync(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        # vary input to defeat relay dedup
-        args = (args[0] + 1e-6 * i,) + args[1:]
-        out = fn(*args)
-        sync(out)
-    return (time.perf_counter() - t0) / iters * 1000
-
-
-def main():
-    os.environ.setdefault('TSSEP_LSTM_DTYPE', 'bfloat16')
-    B, T, I, H = 2048, 316, 320, 300
-    if '--quick' in sys.argv:
-        iters = 3
-    else:
-        iters = 5
-    dt = jnp.bfloat16
-    key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (B, T, I), dt)
+def run_one():
+    import jax
+    import jax.numpy as jnp
     from tssep_tpu.nn.init import torch_lstm_init
+    from tssep_tpu.kernels.blstm import blstm_apply_fused
+
+    B = int(os.environ.get('LSTMB_B', '2048'))
+    T = int(os.environ.get('LSTMB_T', '316'))
+    I = int(os.environ.get('LSTMB_I', '320'))
+    H = int(os.environ.get('LSTMB_H', '300'))
+    iters = int(os.environ.get('LSTMB_ITERS', '5'))
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, I), jnp.bfloat16)
     params = torch_lstm_init(jax.random.PRNGKey(1), I, H)
     params.update({k + '_reverse': v for k, v in
                    torch_lstm_init(jax.random.PRNGKey(2), I, H).items()})
 
-    results = {}
+    fwd = jax.jit(lambda p, x: jnp.sum(blstm_apply_fused(
+        p, x, hidden_size=H, bidirectional=True)))
+    bwd = jax.jit(jax.value_and_grad(lambda x: jnp.sum(blstm_apply_fused(
+        params, x, hidden_size=H, bidirectional=True) ** 2)))
 
-    # scan backend
-    from tssep_tpu.nn import rnnp
-    f_scan = jax.jit(lambda p, x: rnnp._blstm_apply_impl(p, x, H, True))
-    g_scan = jax.jit(jax.grad(
-        lambda p, x: jnp.sum(rnnp._blstm_apply_impl(p, x, H, True) ** 2)))
-    try:
-        results['scan fwd'] = bench(lambda x: f_scan(params, x), x,
-                                    iters=iters)
-        results['scan f+b'] = bench(lambda x: jax.tree_util.tree_leaves(
-            g_scan(params, x))[0], x, iters=iters)
-    except Exception as e:  # noqa: BLE001
-        print('scan failed:', e)
+    def bench(fn):
+        float(fn(x))          # compile+warm
+        t0 = time.perf_counter()
+        for i in range(iters):
+            # vary input to defeat relay dedup
+            float(fn(x + 1e-6 * (i + 1)))
+        return (time.perf_counter() - t0) / iters * 1000
 
-    for bb in (128, 256, 512, 1024, 2048):
-        for tb in (4, 8, 16):
-            os.environ['TSSEP_PALLAS_BATCH_BLOCK'] = str(bb)
-            os.environ['TSSEP_PALLAS_TIME_BLOCK'] = str(tb)
-            import importlib
-            import tssep_tpu.kernels.blstm as kb
-            importlib.reload(kb)
-            fwd = jax.jit(lambda p, x: kb.blstm_apply_fused(
-                p, x, hidden_size=H, bidirectional=True))
-            bwd = jax.jit(jax.grad(lambda p, x: jnp.sum(kb.blstm_apply_fused(
-                p, x, hidden_size=H, bidirectional=True) ** 2)))
-            tag = f'pallas bb={bb:4d} tb={tb}'
-            try:
-                t_f = bench(lambda x: fwd(params, x), x, iters=iters)
-                t_b = bench(lambda x: jax.tree_util.tree_leaves(
-                    bwd(params, x))[0], x, iters=iters)
-                results[tag] = (t_f, t_b)
-                print(f'{tag}: fwd {t_f:7.2f} ms   f+b {t_b:7.2f} ms',
-                      flush=True)
-            except Exception as e:  # noqa: BLE001
-                print(f'{tag}: FAILED {type(e).__name__}: {str(e)[:200]}',
-                      flush=True)
+    t_f = bench(lambda x: fwd(params, x))
+    t_b = bench(lambda x: bwd(x)[0])
+    print(json.dumps({'fwd_ms': t_f, 'fwd_bwd_ms': t_b}))
 
-    print()
-    for k, v in results.items():
-        print(k, v)
+
+def sweep():
+    points = [(bb, tb)
+              for bb in (128, 256, 512, 1024, 2048)
+              for tb in (4, 8, 16)]
+    for bb, tb in points:
+        env = dict(os.environ,
+                   TSSEP_LSTM_DTYPE='bfloat16',
+                   TSSEP_PALLAS_BATCH_BLOCK=str(bb),
+                   TSSEP_PALLAS_TIME_BLOCK=str(tb))
+        r = subprocess.run(
+            [sys.executable, __file__, '--one'], env=env,
+            capture_output=True, text=True, timeout=900)
+        out = [ln for ln in r.stdout.splitlines() if ln.startswith('{')]
+        if r.returncode == 0 and out:
+            d = json.loads(out[-1])
+            print(f'bb={bb:4d} tb={tb:2d}: fwd {d["fwd_ms"]:7.2f} ms  '
+                  f'f+b {d["fwd_bwd_ms"]:7.2f} ms', flush=True)
+        else:
+            err = (r.stderr or r.stdout).strip().splitlines()
+            print(f'bb={bb:4d} tb={tb:2d}: FAILED '
+                  f'{err[-1][:160] if err else r.returncode}', flush=True)
 
 
 if __name__ == '__main__':
-    main()
+    if '--one' in sys.argv:
+        run_one()
+    else:
+        sweep()

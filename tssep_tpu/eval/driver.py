@@ -274,14 +274,14 @@ def save_wavs(result, out_dir, sample_rate=16000, example_id='recording'):
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     est = np.asarray(result['time_estimate'], dtype=np.float32)
+    from tssep_tpu.runtime import native
+    writer = native.wav_write if native.available() else _wav_write_py
     paths = []
     for spk, sig in enumerate(est):
         path = out_dir / f'{example_id}_spk{spk}.wav'
-        try:
-            from tssep_tpu.runtime import native
-            native.wav_write(path, sig, sample_rate)
-        except Exception:  # noqa: BLE001 - pure-python fallback
-            _wav_write_py(path, sig, sample_rate)
+        # A WRITE failure (disk, codec bug) raises; only the unavailable
+        # native extension selects the python fallback (above, once).
+        writer(path, sig, sample_rate)
         paths.append(path)
     return paths
 
@@ -297,21 +297,17 @@ def _wav_write_py(path, sig, sample_rate):
         f.write(b'data' + struct.pack('<I', len(pcm)) + pcm)
 
 
-def calibrate_threshold(activities, references, thresholds=None,
-                        smooth_kernel=11, min_frames=0):
-    """Pick the activity threshold minimizing DER over a calibration set.
-
-    activities: list of (spk, frames) scores; references: list of matching
-    (spk, frames) boolean frame activities.  This is the diarization
-    threshold calibration step (run on the validation/domain-adaptation set
-    before eval; cross-host stats can be psum-reduced over a mesh).
-    Returns (best_threshold, best_der).
-    """
+def calibration_stats(activities, references, thresholds=None,
+                      smooth_kernel=11, min_frames=0):
+    """Per-threshold (error, reference) frame totals for the local
+    calibration examples.  Returns (thresholds, err, ref) float64 arrays —
+    the sufficient statistic for threshold selection, additive across
+    hosts."""
     if thresholds is None:
         thresholds = np.linspace(0.05, 0.9, 18)
-    best = (0.5, np.inf)
-    for th in thresholds:
-        total_err, total_ref = 0.0, 0.0
+    err = np.zeros(len(thresholds))
+    ref_tot = np.zeros(len(thresholds))
+    for i, th in enumerate(thresholds):
         for act, ref in zip(activities, references):
             hyp = np.stack([np.asarray(ai, dtype=bool)
                             for ai in diarize_from_activity(
@@ -319,9 +315,34 @@ def calibrate_threshold(activities, references, thresholds=None,
             ref = np.asarray(ref, dtype=bool)
             frames = min(ref.shape[-1], hyp.shape[-1])
             r = der(ref[..., :frames], hyp[..., :frames])
-            total_err += r['der'] * r['total']
-            total_ref += r['total']
-        d = total_err / max(total_ref, 1)
-        if d < best[1]:
-            best = (float(th), float(d))
-    return best
+            err[i] += r['der'] * r['total']
+            ref_tot[i] += r['total']
+    return np.asarray(thresholds, dtype=np.float64), err, ref_tot
+
+
+def calibrate_threshold(activities, references, thresholds=None,
+                        smooth_kernel=11, min_frames=0, cross_host=True):
+    """Pick the activity threshold minimizing DER over a calibration set.
+
+    activities: list of (spk, frames) scores; references: list of matching
+    (spk, frames) boolean frame activities.  This is the diarization
+    threshold calibration step (run on the validation/domain-adaptation set
+    before eval).  Under a multi-host runtime (``jax.process_count() > 1``)
+    the per-threshold (error, total) frame counts from every host's local
+    examples are all-reduced before the argmin, so all hosts pick the same
+    threshold from the *global* calibration set; single-process this is a
+    no-op.  Returns (best_threshold, best_der).
+    """
+    ths, err, ref_tot = calibration_stats(
+        activities, references, thresholds, smooth_kernel, min_frames)
+    if cross_host:
+        import jax
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            stacked = np.stack([err, ref_tot])
+            summed = multihost_utils.process_allgather(stacked)
+            stacked = np.sum(summed, axis=0)
+            err, ref_tot = stacked[0], stacked[1]
+    ders = err / np.maximum(ref_tot, 1)
+    i = int(np.argmin(ders))
+    return float(ths[i]), float(ders[i])

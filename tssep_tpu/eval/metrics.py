@@ -73,34 +73,50 @@ def _delayed_matrix(sources, taps):
     return cols
 
 
-def bss_eval_sources_sdr(reference_sources, estimated_sources, taps=512):
-    """BSS-Eval SDR per (estimate matched to same-index reference).
+def bss_eval_sources_sdr(reference_sources, estimated_sources, taps=512,
+                         compute_permutation=False, return_permutation=False):
+    """BSS-Eval SDR.
 
-    reference_sources/estimated_sources: (nsrc, T).  No permutation search
-    (mir_eval's ``compute_permutation=False`` mode, as in the reference's
-    doctest ``enhancer.py:419``).
+    reference_sources/estimated_sources: (nsrc, T).
+
+    ``compute_permutation=False`` matches estimate j to reference j
+    (mir_eval's mode in the reference's doctest ``enhancer.py:419``).
+    ``compute_permutation=True`` scores every (estimate, reference) pair
+    and reports the SDRs under the Hungarian-optimal assignment
+    (mir_eval ``bss_eval_sources`` default) — required when the
+    separation output order is arbitrary.  ``return_permutation`` also
+    returns the chosen reference index per estimate.
     """
     refs = np.asarray(reference_sources, dtype=np.float64)
     ests = np.asarray(estimated_sources, dtype=np.float64)
     nsrc, t = refs.shape
     a_all = _delayed_matrix(refs, taps)
-    # Precompute pseudo-inverse pieces via least squares per estimate
-    sdrs = []
-    for j in range(nsrc):
-        e = ests[j]
+
+    def sdr_of(e, target_idx):
         # Projection onto all sources' delayed span
         coef_all, *_ = np.linalg.lstsq(a_all, e, rcond=None)
         p_all = a_all @ coef_all
         # Projection onto the target source's delayed span
-        a_j = a_all[:, j * taps:(j + 1) * taps]
+        a_j = a_all[:, target_idx * taps:(target_idx + 1) * taps]
         coef_j, *_ = np.linalg.lstsq(a_j, e, rcond=None)
         s_target = a_j @ coef_j
         e_interf = p_all - s_target
         e_artif = e - p_all
         num = np.sum(s_target ** 2)
         den = np.sum((e_interf + e_artif) ** 2)
-        sdrs.append(10 * np.log10(max(num, 1e-18) / max(den, 1e-18)))
-    return np.array(sdrs)
+        return 10 * np.log10(max(num, 1e-18) / max(den, 1e-18))
+
+    if not compute_permutation:
+        sdrs = np.array([sdr_of(ests[j], j) for j in range(nsrc)])
+        perm = np.arange(nsrc)
+    else:
+        matrix = np.array([[sdr_of(ests[j], i) for i in range(nsrc)]
+                           for j in range(nsrc)])
+        perm = pit_permutation(matrix, maximize=True)
+        sdrs = matrix[np.arange(nsrc), perm]
+    if return_permutation:
+        return sdrs, perm
+    return sdrs
 
 
 def pit_permutation(score_matrix, maximize=True):

@@ -54,6 +54,7 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None):
 
     # Diarization threshold calibration on the validation set (when it has
     # reference activity) — reference workflow's 'domain adaptation' step.
+    calibration = None
     try:
         from tssep_tpu.eval.driver import calibrate_threshold
         from tssep_tpu.signal.vad import stft_vad
@@ -78,8 +79,14 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None):
             print(f'Calibrated VAD threshold: {th:.2f} '
                   f'(calibration DER {cal_der:.3f})')
             driver.vad_threshold = th
-    except Exception as e:  # noqa: BLE001 - calibration is best-effort
-        print(f'threshold calibration skipped: {e}')
+            calibration = {'threshold': float(th), 'der': float(cal_der)}
+    except Exception as e:  # noqa: BLE001 - calibration is best-effort,
+        # but its failure must be LOUD: recorded in metrics.json (below)
+        # and on stderr, not just lost in stdout.
+        calibration = {'error': f'{type(e).__name__}: {e}',
+                       'threshold': driver.vad_threshold}
+        print(f'WARNING: threshold calibration failed, using default '
+              f'threshold {driver.vad_threshold}: {e}', file=sys.stderr)
 
     ds = model.prepare_eval_dataset(prefetch=False)
 
@@ -117,7 +124,8 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None):
         if vals:
             summary[f'mean_{key}'] = float(np.mean(vals))
     metrics = {'summary': summary, 'per_recording': records,
-               'checkpoint': str(checkpoint), 'iteration': trainer.iteration}
+               'checkpoint': str(checkpoint), 'iteration': trainer.iteration,
+               'calibration': calibration}
     (out_dir / 'metrics.json').write_text(json.dumps(metrics, indent=1))
     print('SUMMARY', json.dumps(summary))
     return metrics

@@ -145,6 +145,13 @@ import os as _os
 STORAGE_DTYPE = {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}[
     _os.environ.get('TSSEP_LSTM_DTYPE', 'float32')]
 
+#: Mosaic's default scoped-VMEM budget (16 MiB) is far below the chip's
+#: physical VMEM; larger (batch x time) blocks need the real budget to
+#: amortize per-grid-step overhead over bigger MXU ops.
+VMEM_LIMIT = int(__import__("os").environ.get(
+    "TSSEP_PALLAS_VMEM_LIMIT", str(100 * 1024 * 1024)))
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+
 #: Per-grid-step batch block: bounds the kernel's VMEM working set (the
 #: batch axis is embarrassingly parallel; t stays the inner, sequential
 #: grid axis so the recurrence carry in scratch is per batch block).
@@ -208,6 +215,7 @@ def _core_fwd_impl(xg, w_hh_t):
             pltpu.VMEM((bb, hidden), jnp.float32),
             pltpu.VMEM((bb, hidden), jnp.float32),
         ],
+        compiler_params=_COMPILER_PARAMS,
     )(xg, w_hh_t)
     return hs, cs
 
@@ -267,6 +275,7 @@ def _lstm_core_bwd(residuals, dhs):
             pltpu.VMEM((bb, hidden), jnp.float32),
             pltpu.VMEM((hidden, gh), jnp.float32),
         ],
+        compiler_params=_COMPILER_PARAMS,
     )(xg, w_hh_t, hs_prev, cs_prev, cs, dhs)
     return dxg.astype(jnp.float32), dwhh
 
