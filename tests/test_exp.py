@@ -237,3 +237,18 @@ def test_checkpoint_retention(tmp_path):
         numbered, key=lambda p: int(p.stem.split('_')[-1]))[-2:]}
     assert len(numbered) <= 2 + len(extra)
     assert latest.name in {p.name for p in numbered}
+
+
+def test_host_info_capture(tmp_path):
+    """init writes host_info.json (sacred host-info equivalent,
+    reference run.py:59-68)."""
+    import json
+    from tssep_tpu.train.run import host_info, init
+    info = host_info()
+    assert 'hostname' in info and 'jax' in info and 'env' in info
+    config = _load_reduced('init_cfg_tsvad.yaml', tmp_path / 'tsvad')
+    config['eg'] = Experiment.get_config(config['eg'])
+    init(config)
+    captured = json.loads((tmp_path / 'tsvad' / 'host_info.json').read_text())
+    assert captured['python'] == info['python']
+    assert isinstance(captured['env'], dict)

@@ -174,20 +174,40 @@ class NoFeatureSTFT(STFTFeatures):
 # IPD features
 # ---------------------------------------------------------------------------
 
-def interchannel_phase_differences(signal, second_channel=None, concatenate=False):
+#: Host-side RNG for the random channel pairing.  ``None`` (default) uses
+#: numpy's global legacy RNG — bit-parity with the reference
+#: (``feature_extractor.py:13-80``; its doctest goldens seed the global
+#: stream).  Set an explicit Generator via :func:`seed_ipd_rng` to decouple
+#: the pairing from the global stream (the framework's explicit-PRNG
+#: reproducibility stance).
+_IPD_RNG = None
+
+
+def seed_ipd_rng(seed):
+    """Give the channel pairing its own reseedable RNG (pass ``None`` to
+    restore reference global-RNG parity)."""
+    global _IPD_RNG
+    _IPD_RNG = None if seed is None else np.random.default_rng(seed)
+
+
+def interchannel_phase_differences(signal, second_channel=None,
+                                   concatenate=False, rng=None):
     """cos/sin of inter-channel phase differences.
 
     ``signal``: (..., channels, frames, frequencies).  When
     ``second_channel`` is not given, a random derangement-ish pairing is
-    sampled with numpy's global RNG (host side; matches reference
-    ``feature_extractor.py:13-80`` behavior).
+    sampled host-side from ``rng``, the module RNG (see
+    :func:`seed_ipd_rng`), or — parity default — numpy's global RNG
+    (reference ``feature_extractor.py:13-80``).
     """
     xp = _xp(signal)
     if second_channel is None:
         D = signal.shape[-3]
         assert D >= 2, signal.shape
         pairs = list(itertools.permutations(range(D), 2))
-        np.random.shuffle(pairs)
+        (rng if rng is not None
+         else _IPD_RNG if _IPD_RNG is not None
+         else np.random).shuffle(pairs)
         second_channel = np.array(sorted(dict(pairs).items()))[:, 1]
     product = signal * signal[..., second_channel, :, :].conj()
     denom = abs(product)

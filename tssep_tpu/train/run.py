@@ -114,6 +114,32 @@ makefile:
 ''')
 
 
+def host_info():
+    """Environment snapshot for the storage dir (sacred host-info
+    equivalent, reference ``run.py:59-68``: CUDA/SLURM/OMP env there;
+    JAX/TPU/SLURM env here)."""
+    import platform
+    import jax
+    keys = [k for k in os.environ
+            if k.startswith(('SLURM', 'TPU', 'JAX', 'XLA', 'TSSEP', 'OMP'))]
+    info = {
+        'hostname': platform.node(),
+        'platform': platform.platform(),
+        'python': sys.version.split()[0],
+        'jax': jax.__version__,
+        'argv': sys.argv,
+        'cwd': str(Path.cwd()),
+        'env': {k: os.environ[k] for k in sorted(keys)},
+    }
+    try:
+        info['devices'] = [str(d) for d in jax.devices()]
+        info['process_index'] = jax.process_index()
+        info['process_count'] = jax.process_count()
+    except Exception as e:  # noqa: BLE001 - no backend available yet
+        info['devices'] = f'unavailable: {e}'
+    return info
+
+
 def init(config):
     storage_dir = Path(config['eg']['trainer']['storage_dir'])
     storage_dir.mkdir(exist_ok=True, parents=True)
@@ -122,6 +148,10 @@ def init(config):
         print(f'{shlex.join(sys.argv)}'
               f'  # {datetime.datetime.today().strftime("%Y.%m.%d %H:%M:%S")}'
               f'  # {Path.cwd()}', file=fd)
+
+    import json
+    (storage_dir / 'host_info.json').write_text(
+        json.dumps(host_info(), indent=1, default=str))
 
     cwd = Path.cwd()
     if cwd.parts[:-1] == storage_dir.parts[:-1]:
