@@ -70,7 +70,7 @@ def _config(work_dir, shards, stage, iters, batch, aux_size=64,
 
 def main(work_dir='egs/simulated', train_examples=32, eval_examples=4,
          tsvad_iters=800, tssep_iters=800, batch=8, aux_size=513,
-         duration=5.0):
+         duration=5.0, num_channels=1, reverb_taps=0):
     from tssep_tpu.config.configurable import from_config
     from tssep_tpu.data.simulate import MeetingSimulator, simulate_corpus
     from tssep_tpu.eval.run import evaluate
@@ -91,7 +91,8 @@ def main(work_dir='egs/simulated', train_examples=32, eval_examples=4,
             print(f'Simulating {n} {split} meetings -> {path}')
             simulate_corpus(path, n, MeetingSimulator(
                 duration=dur, aux_size=aux_size, seed=seed,
-                embedding_kind='gate'))
+                embedding_kind='gate', num_channels=num_channels,
+                reverb_taps=reverb_taps))
         shards[split] = path
 
     # 2. stage 1: TS-VAD
@@ -111,13 +112,38 @@ def main(work_dir='egs/simulated', train_examples=32, eval_examples=4,
     # 4. score both stages on the (longer) eval meetings
     print('=== Eval: TS-VAD (diarization)')
     vad_metrics = evaluate(eg, beamform=False)
-    print('=== Eval: TS-SEP (separation)')
+    print('=== Eval: TS-SEP (separation, masking)')
     sep_metrics = evaluate(eg2, beamform=False)
+    if num_channels >= 6:
+        # Multichannel rehearsal: the full ClassicBF MVDR path (per-VAD-
+        # segment PSDs + Souden beamforming, reference enhancer.py:451-548)
+        # against plain masking on the same masks/diarization.
+        print('=== Eval: TS-SEP (separation, MVDR beamforming)')
+        bf_metrics = evaluate(eg2, beamform=True,
+                              out=Path(eg2.trainer.storage_dir) / 'eval_bf')
+        cmp = {
+            'masking_si_sdr': sep_metrics['summary'].get('mean_si_sdr'),
+            'mvdr_si_sdr': bf_metrics['summary'].get('mean_si_sdr'),
+        }
+        print('=== Masking vs MVDR:', cmp)
+        return vad_metrics, sep_metrics, bf_metrics
     return vad_metrics, sep_metrics
 
 
+def main_multichannel(work_dir='egs/simulated_mc', **kwargs):
+    """The >=6-mic, reverberant rehearsal: trains on 6-channel simulated
+    meetings and scores masking vs ClassicBF MVDR beamforming."""
+    kwargs.setdefault('num_channels', 6)
+    kwargs.setdefault('reverb_taps', 2)
+    return main(work_dir, **kwargs)
+
+
 if __name__ == '__main__':
-    main(*sys.argv[1:2])
+    _args = [a for a in sys.argv[1:] if not a.startswith('-')]
+    if '--multichannel' in sys.argv[1:]:
+        main_multichannel(*_args[:1])
+    else:
+        main(*_args[:1])
 
 
 def joint_eval(vad_eg, sep_eg, limit=None):
