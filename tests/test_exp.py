@@ -252,3 +252,24 @@ def test_host_info_capture(tmp_path):
     captured = json.loads((tmp_path / 'tsvad' / 'host_info.json').read_text())
     assert captured['python'] == info['python']
     assert isinstance(captured['env'], dict)
+
+
+def test_async_checkpoints(tmp_path):
+    """async_checkpoints=True overlaps checkpoint IO with training; files
+    land on disk by train() return, resume works (Orbax-async idea on the
+    npz format)."""
+    config = _load_reduced('init_cfg_tsvad.yaml', tmp_path / 'tsvad')
+    config['eg']['trainer']['async_checkpoints'] = True
+    eg: Experiment = from_config(Experiment.get_config(config['eg']))
+    assert eg.trainer.async_checkpoints is True
+    eg.train()
+    ckpt_dir = tmp_path / 'tsvad' / 'checkpoints'
+    assert (ckpt_dir / 'ckpt_latest.npz').exists()
+    assert (ckpt_dir / 'ckpt_best_loss.npz').exists()
+    # resume through load() (waits for pending writes)
+    config2 = _load_reduced('init_cfg_tsvad.yaml', tmp_path / 'tsvad')
+    config2['eg']['trainer']['async_checkpoints'] = True
+    nv = NestedView(config2)
+    nv['eg.trainer.stop_trigger'] = [4, 'iteration']
+    eg2: Experiment = from_config(Experiment.get_config(config2['eg']))
+    assert eg2.train() == 4

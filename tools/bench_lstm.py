@@ -51,31 +51,48 @@ def run_one():
     print(json.dumps({'fwd_ms': t_f, 'fwd_bwd_ms': t_b}))
 
 
+def run_one_guarded():
+    try:
+        run_one()
+    except Exception as e:  # noqa: BLE001
+        print('POINT FAILED:', type(e).__name__, str(e)[:300])
+        sys.exit(1)
+
+
 def sweep():
-    points = [(bb, tb)
-              for bb in (128, 256, 512, 1024, 2048)
-              for tb in (4, 8, 16)]
-    for bb, tb in points:
+    points = []
+    for bidi in ('0', '1'):
+        for bb in (256, 512, 1024, 2048):
+            for tb in (4, 8):
+                points.append((bidi, bb, tb))
+    for bidi, bb, tb in points:
         env = dict(os.environ,
                    TSSEP_LSTM_DTYPE='bfloat16',
+                   TSSEP_PALLAS_BIDI=bidi,
                    TSSEP_PALLAS_BATCH_BLOCK=str(bb),
-                   TSSEP_PALLAS_TIME_BLOCK=str(tb))
-        r = subprocess.run(
-            [sys.executable, __file__, '--one'], env=env,
-            capture_output=True, text=True, timeout=900)
+                   TSSEP_PALLAS_TIME_BLOCK=str(tb),
+                   LSTMB_ITERS=os.environ.get('LSTMB_ITERS', '3'))
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, '--one'], env=env,
+                capture_output=True, text=True, timeout=600)
+        except subprocess.TimeoutExpired:
+            print(f'bidi={bidi} bb={bb:4d} tb={tb:2d}: TIMEOUT', flush=True)
+            continue
         out = [ln for ln in r.stdout.splitlines() if ln.startswith('{')]
         if r.returncode == 0 and out:
             d = json.loads(out[-1])
-            print(f'bb={bb:4d} tb={tb:2d}: fwd {d["fwd_ms"]:7.2f} ms  '
+            print(f'bidi={bidi} bb={bb:4d} tb={tb:2d}: '
+                  f'fwd {d["fwd_ms"]:7.2f} ms  '
                   f'f+b {d["fwd_bwd_ms"]:7.2f} ms', flush=True)
         else:
             err = (r.stderr or r.stdout).strip().splitlines()
-            print(f'bb={bb:4d} tb={tb:2d}: FAILED '
+            print(f'bidi={bidi} bb={bb:4d} tb={tb:2d}: FAILED '
                   f'{err[-1][:160] if err else r.returncode}', flush=True)
 
 
 if __name__ == '__main__':
     if '--one' in sys.argv:
-        run_one()
+        run_one_guarded()
     else:
         sweep()

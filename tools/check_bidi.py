@@ -1,0 +1,56 @@
+"""Correctness check: interleaved bidirectional kernel vs scan path (TPU).
+
+Usage: python tools/check_bidi.py
+"""
+
+import os
+
+os.environ.setdefault('TSSEP_LSTM_DTYPE', 'float32')
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tssep_tpu.nn import rnnp
+from tssep_tpu.nn.init import torch_lstm_init
+from tssep_tpu.kernels import blstm as kb
+
+
+def main():
+    B, T, I, H = 16, 37, 12, 20   # odd T exercises time padding
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, I), jnp.float32)
+    params = torch_lstm_init(jax.random.PRNGKey(1), I, H)
+    params.update({k + '_reverse': v for k, v in
+                   torch_lstm_init(jax.random.PRNGKey(2), I, H).items()})
+
+    ref = jax.jit(lambda p, x: rnnp._blstm_apply_impl(p, x, H, True))(
+        params, x)
+    got = jax.jit(lambda p, x: kb.blstm_apply_fused_bidi(
+        p, x, hidden_size=H))(params, x)
+    err = float(jnp.max(jnp.abs(ref - got)))
+    print('fwd max err:', err)
+    assert err < 2e-3, err
+
+    def loss_ref(p, x):
+        return jnp.sum(rnnp._blstm_apply_impl(p, x, H, True) ** 2)
+
+    def loss_bidi(p, x):
+        return jnp.sum(kb.blstm_apply_fused_bidi(p, x, hidden_size=H) ** 2)
+
+    g_ref = jax.jit(jax.grad(loss_ref))(params, x)
+    g_bidi = jax.jit(jax.grad(loss_bidi))(params, x)
+    gx_ref = jax.jit(jax.grad(loss_ref, argnums=1))(params, x)
+    gx_bidi = jax.jit(jax.grad(loss_bidi, argnums=1))(params, x)
+    for k in sorted(g_ref):
+        a, b = np.asarray(g_ref[k]), np.asarray(g_bidi[k])
+        e = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+        print(f'  grad {k}: rel err {e:.2e}')
+        assert e < 5e-3, (k, e)
+    e = float(jnp.max(jnp.abs(gx_ref - gx_bidi)))
+    print('input grad max err:', e)
+    assert e < 2e-3, e
+    print('BIDI KERNEL OK')
+
+
+if __name__ == '__main__':
+    main()

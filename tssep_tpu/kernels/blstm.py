@@ -304,7 +304,13 @@ def lstm_fused(xg, w_hh_t, reverse=False):
 
 def blstm_apply_fused(params, x, *, hidden_size, bidirectional=True):
     """Drop-in BLSTM layer using the fused kernel (same contract as
-    ``tssep_tpu.nn.rnnp.blstm_apply``)."""
+    ``tssep_tpu.nn.rnnp.blstm_apply``).  Bidirectional layers default to
+    the direction-interleaved kernel (below) — two independent dependency
+    chains per step halve the sequential pallas calls and hide each
+    other's MXU/VPU latency."""
+    if bidirectional and BIDI:
+        return blstm_apply_fused_bidi(params, x, hidden_size=hidden_size)
+
     def direction(suffix, reverse):
         w_ih = params['weight_ih_l0' + suffix].astype(x.dtype)
         w_hh = params['weight_hh_l0' + suffix]
@@ -319,3 +325,279 @@ def blstm_apply_fused(params, x, *, hidden_size, bidirectional=True):
     if bidirectional:
         out = jnp.concatenate([out, direction('_reverse', True)], axis=-1)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Direction-interleaved bidirectional kernels
+# ---------------------------------------------------------------------------
+# The two directions of a BLSTM are independent recurrences; running them in
+# ONE kernel halves the number of sequential pallas calls and gives the
+# scheduler two independent dependency chains per step — the reverse
+# direction's hidden matmul issues while the forward direction's gate
+# nonlinearities occupy the VPU (and vice versa), hiding the serial latency
+# that dominates the recurrence (TODO perf item #1).  The reverse input is
+# pre-flipped outside, so both directions walk the grid forward.
+
+def _bi_fwd_kernel(xgf_ref, xgr_ref, wf_ref, wr_ref,
+                   hsf_ref, hsr_ref, csf_ref, csr_ref,
+                   hf_scr, cf_scr, hr_scr, cr_scr, *, hidden, time_block):
+    tb = pl.program_id(1)
+
+    @pl.when(tb == 0)
+    def _():
+        hf_scr[:] = jnp.zeros_like(hf_scr)
+        cf_scr[:] = jnp.zeros_like(cf_scr)
+        hr_scr[:] = jnp.zeros_like(hr_scr)
+        cr_scr[:] = jnp.zeros_like(cr_scr)
+
+    def step(k, _):
+        hf = hf_scr[:]
+        hr = hr_scr[:]
+        # Two independent MXU chains — issue both dots back to back
+        gf = xgf_ref[k].astype(jnp.float32) + jnp.dot(
+            hf.astype(wf_ref.dtype), wf_ref[:],
+            preferred_element_type=jnp.float32)
+        gr = xgr_ref[k].astype(jnp.float32) + jnp.dot(
+            hr.astype(wr_ref.dtype), wr_ref[:],
+            preferred_element_type=jnp.float32)
+
+        i_f = jax.nn.sigmoid(gf[:, :hidden])
+        f_f = jax.nn.sigmoid(gf[:, hidden:2 * hidden])
+        g_f = jnp.tanh(gf[:, 2 * hidden:3 * hidden])
+        o_f = jax.nn.sigmoid(gf[:, 3 * hidden:])
+        cf = f_f * cf_scr[:] + i_f * g_f
+        hf = o_f * jnp.tanh(cf)
+
+        i_r = jax.nn.sigmoid(gr[:, :hidden])
+        f_r = jax.nn.sigmoid(gr[:, hidden:2 * hidden])
+        g_r = jnp.tanh(gr[:, 2 * hidden:3 * hidden])
+        o_r = jax.nn.sigmoid(gr[:, 3 * hidden:])
+        cr = f_r * cr_scr[:] + i_r * g_r
+        hr = o_r * jnp.tanh(cr)
+
+        hf_scr[:] = hf
+        cf_scr[:] = cf
+        hr_scr[:] = hr
+        cr_scr[:] = cr
+        hsf_ref[k] = hf.astype(hsf_ref.dtype)
+        csf_ref[k] = cf.astype(csf_ref.dtype)
+        hsr_ref[k] = hr.astype(hsr_ref.dtype)
+        csr_ref[k] = cr.astype(csr_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, time_block, step, 0)
+
+
+def _bi_bwd_kernel(xgf_ref, xgr_ref, wf_ref, wr_ref,
+                   hpf_ref, cpf_ref, cf_ref, dhsf_ref,
+                   hpr_ref, cpr_ref, cr_ref, dhsr_ref,
+                   dxgf_ref, dxgr_ref, dwf_ref, dwr_ref,
+                   dhf_scr, dcf_scr, dwf_scr, dhr_scr, dcr_scr, dwr_scr,
+                   *, hidden, time_block):
+    tb = pl.program_id(1)            # walks time blocks last-to-first
+    bblk = pl.program_id(0)
+    n_tb = pl.num_programs(1)
+
+    @pl.when(tb == 0)
+    def _():
+        dhf_scr[:] = jnp.zeros_like(dhf_scr)
+        dcf_scr[:] = jnp.zeros_like(dcf_scr)
+        dwf_scr[:] = jnp.zeros_like(dwf_scr)
+        dhr_scr[:] = jnp.zeros_like(dhr_scr)
+        dcr_scr[:] = jnp.zeros_like(dcr_scr)
+        dwr_scr[:] = jnp.zeros_like(dwr_scr)
+
+    def one_direction(k, xg_ref, w_ref, hp_ref, cp_ref, c_ref, dhs_ref,
+                      dxg_ref, dh_scr, dc_scr, dw_scr):
+        h_prev = hp_ref[k]
+        c_prev = cp_ref[k].astype(jnp.float32)
+        c_t = c_ref[k].astype(jnp.float32)
+
+        gates = xg_ref[k].astype(jnp.float32) + jnp.dot(
+            h_prev, w_ref[:], preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(gates[:, :hidden])
+        f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+
+        dh = dh_scr[:] + dhs_ref[k]
+        tanh_c = jnp.tanh(c_t)
+        do = dh * tanh_c
+        dc = dc_scr[:] + dh * o * (1 - tanh_c * tanh_c)
+        di = dc * g
+        df = dc * c_prev
+        dg = dc * i
+        dgates = jnp.concatenate([
+            di * i * (1 - i),
+            df * f * (1 - f),
+            dg * (1 - g * g),
+            do * o * (1 - o),
+        ], axis=1)
+
+        dxg_ref[k] = dgates.astype(dxg_ref.dtype)
+        dw_scr[:] += jnp.dot(h_prev.T.astype(dgates.dtype), dgates,
+                             preferred_element_type=jnp.float32)
+        dh_scr[:] = jnp.dot(dgates, w_ref[:].T.astype(dgates.dtype),
+                            preferred_element_type=jnp.float32)
+        dc_scr[:] = dc * f
+
+    def step(j, _):
+        k = time_block - 1 - j
+        one_direction(k, xgf_ref, wf_ref, hpf_ref, cpf_ref, cf_ref,
+                      dhsf_ref, dxgf_ref, dhf_scr, dcf_scr, dwf_scr)
+        one_direction(k, xgr_ref, wr_ref, hpr_ref, cpr_ref, cr_ref,
+                      dhsr_ref, dxgr_ref, dhr_scr, dcr_scr, dwr_scr)
+        return 0
+
+    jax.lax.fori_loop(0, time_block, step, 0)
+
+    @pl.when(tb == n_tb - 1)
+    def _():
+        @pl.when(bblk == 0)
+        def _():
+            dwf_ref[:] = dwf_scr[:]
+            dwr_ref[:] = dwr_scr[:]
+
+        @pl.when(bblk > 0)
+        def _():
+            dwf_ref[:] += dwf_scr[:]
+            dwr_ref[:] += dwr_scr[:]
+
+        dwf_scr[:] = jnp.zeros_like(dwf_scr)
+        dwr_scr[:] = jnp.zeros_like(dwr_scr)
+
+
+#: Batch block for the interleaved kernel (its VMEM working set is ~2x the
+#: unidirectional kernel's at equal bb).
+BIDI_BATCH_BLOCK = int(__import__("os").environ.get(
+    "TSSEP_PALLAS_BIDI_BATCH_BLOCK", str(BATCH_BLOCK)))
+
+
+def _bi_specs(k, bb, gh, hidden):
+    xg = pl.BlockSpec((k, bb, gh), lambda i, t: (t, i, 0),
+                      memory_space=pltpu.VMEM)
+    w = pl.BlockSpec((hidden, gh), lambda i, t: (0, 0),
+                     memory_space=pltpu.VMEM)
+    h = pl.BlockSpec((k, bb, hidden), lambda i, t: (t, i, 0),
+                     memory_space=pltpu.VMEM)
+    return xg, w, h
+
+
+def _bi_core_fwd_impl(xgf, xgr, wf_t, wr_t):
+    seq_len, b, gh = xgf.shape
+    sdt = xgf.dtype
+    hidden = wf_t.shape[0]
+    bb = min(b, BIDI_BATCH_BLOCK)
+    nb = b // bb
+    k = TIME_BLOCK
+    assert seq_len % k == 0, (seq_len, k)
+    ntb = seq_len // k
+    xg_s, w_s, h_s = _bi_specs(k, bb, gh, hidden)
+    out = pl.pallas_call(
+        functools.partial(_bi_fwd_kernel, hidden=hidden, time_block=k),
+        grid=(nb, ntb),
+        in_specs=[xg_s, xg_s, w_s, w_s],
+        out_specs=[h_s, h_s, h_s, h_s],
+        out_shape=[jax.ShapeDtypeStruct((seq_len, b, hidden), sdt)] * 4,
+        scratch_shapes=[pltpu.VMEM((bb, hidden), jnp.float32)] * 4,
+        compiler_params=_COMPILER_PARAMS,
+    )(xgf, xgr, wf_t, wr_t)
+    return out  # hsf, hsr, csf, csr
+
+
+@jax.custom_vjp
+def _bi_core(xgf, xgr, wf_t, wr_t):
+    """Interleaved BLSTM: both inputs in walked (forward) time order."""
+    hsf, hsr, _, _ = _bi_core_fwd_impl(xgf, xgr, wf_t, wr_t)
+    return hsf, hsr
+
+
+def _bi_core_fwd(xgf, xgr, wf_t, wr_t):
+    hsf, hsr, csf, csr = _bi_core_fwd_impl(xgf, xgr, wf_t, wr_t)
+    return (hsf, hsr), (xgf, xgr, wf_t, wr_t, hsf, hsr, csf, csr)
+
+
+def _bi_core_bwd(residuals, cotangents):
+    xgf, xgr, wf_t, wr_t, hsf, hsr, csf, csr = residuals
+    dhsf, dhsr = cotangents
+    seq_len, b, hidden = hsf.shape
+    gh = xgf.shape[-1]
+    sdt = xgf.dtype
+
+    def prevs(hs, cs):
+        zeros = jnp.zeros((1, b, hidden), hs.dtype)
+        return (jnp.concatenate([zeros, hs[:-1]], axis=0),
+                jnp.concatenate([zeros, cs[:-1]], axis=0))
+
+    hpf, cpf = prevs(hsf, csf)
+    hpr, cpr = prevs(hsr, csr)
+    dhsf = dhsf.astype(jnp.float32)
+    dhsr = dhsr.astype(jnp.float32)
+
+    bb = min(b, BIDI_BATCH_BLOCK)
+    nb = b // bb
+    k = TIME_BLOCK
+    ntb = seq_len // k
+    rev = lambda i, t: ((ntb - 1 - t), i, 0)  # noqa: E731
+    xg_s = pl.BlockSpec((k, bb, gh), rev, memory_space=pltpu.VMEM)
+    w_s = pl.BlockSpec((hidden, gh), lambda i, t: (0, 0),
+                       memory_space=pltpu.VMEM)
+    h_s = pl.BlockSpec((k, bb, hidden), rev, memory_space=pltpu.VMEM)
+    dxgf, dxgr, dwf, dwr = pl.pallas_call(
+        functools.partial(_bi_bwd_kernel, hidden=hidden, time_block=k),
+        grid=(nb, ntb),
+        in_specs=[xg_s, xg_s, w_s, w_s,
+                  h_s, h_s, h_s, h_s,
+                  h_s, h_s, h_s, h_s],
+        out_specs=[xg_s, xg_s, w_s, w_s],
+        out_shape=[
+            jax.ShapeDtypeStruct((seq_len, b, gh), sdt),
+            jax.ShapeDtypeStruct((seq_len, b, gh), sdt),
+            jax.ShapeDtypeStruct((hidden, gh), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, gh), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((hidden, gh), jnp.float32),
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((hidden, gh), jnp.float32),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+    )(xgf, xgr, wf_t, wr_t, hpf, cpf, csf, dhsf, hpr, cpr, csr, dhsr)
+    return (dxgf.astype(jnp.float32), dxgr.astype(jnp.float32), dwf, dwr)
+
+
+_bi_core.defvjp(_bi_core_fwd, _bi_core_bwd)
+
+
+#: Use the interleaved kernel for bidirectional layers ('1' default).
+BIDI = __import__("os").environ.get("TSSEP_PALLAS_BIDI", "1") != "0"
+
+
+def blstm_apply_fused_bidi(params, x, *, hidden_size):
+    """Bidirectional layer through the direction-interleaved kernel."""
+    def xg_of(suffix):
+        w_ih = params['weight_ih_l0' + suffix].astype(x.dtype)
+        bias = (params['bias_ih_l0' + suffix]
+                + params['bias_hh_l0' + suffix]).astype(x.dtype)
+        xg = x @ w_ih.T + bias
+        return jnp.swapaxes(xg, 0, 1).astype(STORAGE_DTYPE)  # (T, B, 4H)
+
+    xgf = xg_of('')
+    xgr = jnp.flip(xg_of('_reverse'), axis=0)
+    multiple = (BIDI_BATCH_BLOCK if xgf.shape[1] >= BIDI_BATCH_BLOCK
+                else 8)
+    xgf, real_b = _pad_batch(xgf, multiple)
+    xgr, _ = _pad_batch(xgr, multiple)
+    xgf, real_t = _pad_time_multiple(xgf, TIME_BLOCK)
+    xgr, _ = _pad_time_multiple(xgr, TIME_BLOCK)
+    hsf, hsr = _bi_core(xgf, xgr,
+                        params['weight_hh_l0'].T.astype(STORAGE_DTYPE),
+                        params['weight_hh_l0_reverse'].T.astype(
+                            STORAGE_DTYPE))
+    hsf = hsf[:real_t, :real_b]
+    hsr = jnp.flip(hsr[:real_t], axis=0)[:, :real_b]
+    out = jnp.concatenate([hsf, hsr], axis=-1)
+    return jnp.swapaxes(out, 0, 1).astype(x.dtype)

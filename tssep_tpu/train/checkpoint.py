@@ -22,7 +22,7 @@ import jax
 import numpy as np
 
 __all__ = ['save_checkpoint', 'load_checkpoint', 'params_to_named',
-           'named_to_params', 'latest_checkpoint']
+           'named_to_params', 'latest_checkpoint', 'wait_for_pending']
 
 
 def _path_str(path) -> str:
@@ -68,8 +68,78 @@ def named_to_params(named: dict, template):
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+class _AsyncWriter:
+    """Single background worker serializing checkpoint writes in order.
+
+    The Orbax-async idea sized to the npz format: the device->host fetch
+    happens synchronously in ``save_checkpoint`` (params are donated into
+    the next update, so the values must be captured at the trigger), while
+    npz serialization + disk write + symlink updates — the slow host part —
+    overlap with training.  ``wait()`` drains the queue (call before load/
+    resume and at training end)."""
+
+    def __init__(self):
+        import queue
+        import threading
+        self._q = queue.Queue()
+        self._err = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is not None:
+                    _write_payload(*item)
+            except Exception as e:  # noqa: BLE001 - surfaced by wait()
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def submit(self, *item):
+        self.check()
+        self._q.put(item)
+
+    def wait(self):
+        self._q.join()
+        self.check()
+
+    def check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError('async checkpoint write failed') from err
+
+
+_ASYNC_WRITER = None
+
+
+def _async_writer() -> _AsyncWriter:
+    global _ASYNC_WRITER
+    if _ASYNC_WRITER is None:
+        _ASYNC_WRITER = _AsyncWriter()
+    return _ASYNC_WRITER
+
+
+def wait_for_pending():
+    """Block until queued async checkpoint writes have hit the disk."""
+    if _ASYNC_WRITER is not None:
+        _ASYNC_WRITER.wait()
+
+
+def _write_payload(path: Path, payload: dict, best: bool):
+    buf = io.BytesIO()
+    np.savez(buf, **payload)
+    tmp = path.with_suffix('.tmp')
+    tmp.write_bytes(buf.getvalue())
+    tmp.replace(path)
+    _relink(path.parent / 'ckpt_latest.npz', path)
+    if best:
+        _relink(path.parent / 'ckpt_best_loss.npz', path)
+
+
 def save_checkpoint(ckpt_dir, iteration, params, opt_state=None, meta=None,
-                    best=False):
+                    best=False, async_write=False):
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     payload = {}
@@ -84,15 +154,10 @@ def save_checkpoint(ckpt_dir, iteration, params, opt_state=None, meta=None,
         json.dumps(meta).encode(), dtype=np.uint8)
 
     path = ckpt_dir / f'ckpt_{iteration}.npz'
-    buf = io.BytesIO()
-    np.savez(buf, **payload)
-    tmp = path.with_suffix('.tmp')
-    tmp.write_bytes(buf.getvalue())
-    tmp.replace(path)
-
-    _relink(ckpt_dir / 'ckpt_latest.npz', path)
-    if best:
-        _relink(ckpt_dir / 'ckpt_best_loss.npz', path)
+    if async_write:
+        _async_writer().submit(path, payload, best)
+    else:
+        _write_payload(path, payload, best)
     return path
 
 

@@ -122,7 +122,8 @@ class Trainer(Configurable):
                  checkpoint_trigger=(1000, 'iteration'),
                  stop_trigger=(416666, 'iteration'),
                  virtual_minibatch_size=1,
-                 seed=0, mesh=None, create_snapshots=True):
+                 seed=0, mesh=None, create_snapshots=True,
+                 async_checkpoints=False):
         if isinstance(model, dict):
             model = from_config(model)
         if optimizer is None:
@@ -141,6 +142,10 @@ class Trainer(Configurable):
         #: Emit audio/spectrogram/mask-image payloads at summary and
         #: validation triggers (reference ``model.py:692-752``).
         self.create_snapshots = bool(create_snapshots)
+        #: Overlap checkpoint serialization/IO with training (device->host
+        #: fetch stays synchronous; see train/checkpoint.py _AsyncWriter —
+        #: the Orbax-async idea on the npz format).
+        self.async_checkpoints = bool(async_checkpoints)
         #: None (single device) or {'data': D|None, 'model': M}.
         self.mesh_config = dict(mesh) if mesh else None
 
@@ -456,11 +461,12 @@ class Trainer(Configurable):
             self.checkpoint_dir, self.iteration, self.params,
             opt_state=self.opt_state,
             meta={'best_validation_loss': self.best_validation_loss},
-            best=best)
+            best=best, async_write=self.async_checkpoints)
         self._prune_checkpoints()
         return path
 
     def load(self, path):
+        ckpt_lib.wait_for_pending()
         self.ensure_init()
         params, opt_state, meta = ckpt_lib.load_checkpoint(
             path, params_template=self.params,
@@ -563,9 +569,12 @@ class Trainer(Configurable):
                 self.save(best=best)
 
         drain_pending()
+        ckpt_lib.wait_for_pending()
         # Final checkpoint if the loop ended off-trigger
         if not (self.checkpoint_dir / f'ckpt_{self.iteration}.npz').exists():
             self.save()
+            ckpt_lib.wait_for_pending()
+        self._prune_checkpoints()
         return self.iteration
 
 
