@@ -235,3 +235,17 @@ def test_loss_weights_mapping(tmp_path):
     t2 = Trainer(model, tmp_path, loss_weights={'nope': 1.0})
     with pytest.raises(ValueError):
         t2.ensure_init()
+
+
+def test_layer_time_report(toy_model):
+    """Per-stage timing table (reference TimeTracker equivalent)."""
+    from tssep_tpu.train.track import layer_time_report
+    model = toy_model
+    params = model.init_params(jax.random.PRNGKey(0))
+    ds = model.prepare_train_dataset(prefetch=False, batch_size=2)
+    ex = next(iter(ds))
+    report = layer_time_report(model, params, ex, iters=1)
+    assert 'fe.stft' in report
+    assert 'pre_net' in report
+    assert 'post_net.birnn0' in report
+    assert 'ms' in report and 'total' in report

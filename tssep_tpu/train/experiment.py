@@ -143,8 +143,11 @@ class Experiment(Configurable):
             validation_ds, max_checkpoints=self.max_checkpoints)
 
         # Shape/parameter report (the reference's tracker table equivalent)
-        from tssep_tpu.train.track import cost_analysis_report, model_report
+        from tssep_tpu.train.track import (
+            cost_analysis_report, layer_time_report, model_report,
+        )
         cost_report = ''
+        time_report = ''
         try:
             ex = next(iter(trainer.model.prepare_validate_dataset(
                 prefetch=False, batch_size=self.validation_batchsize)))
@@ -154,13 +157,20 @@ class Experiment(Configurable):
             cost_report = cost_analysis_report(
                 trainer._eval_fn, trainer.params, arrays,
                 jax.random.PRNGKey(0))
+            if trainer.mesh is None:
+                # Per-layer timing (reference TimeTracker table); stages
+                # are jitted unsharded, so skip under a mesh.
+                time_report = layer_time_report(
+                    trainer.model, trainer.params, arrays)
         except Exception as e:  # noqa: BLE001 - report is best-effort
-            cost_report = f'cost report unavailable: {e}'
+            cost_report = cost_report or f'cost report unavailable: {e}'
+            time_report = time_report or f'time report unavailable: {e}'
         self.add_log_files(
             train_dataset=repr(train_ds),
             validation_dataset=repr(validation_ds),
             trackers=model_report(trainer.model, trainer.params),
             cost=cost_report,
+            layer_times=time_report,
         )
 
         print('Train')

@@ -119,3 +119,103 @@ def shape_report(model, params, example) -> str:
 
     width = max(len(n) for n, _ in rows)
     return '\n'.join(f'{n:<{width}}  {s}' for n, s in rows)
+
+
+def layer_time_report(model, params, example, iters=2) -> str:
+    """Per-stage on-device timing table (the reference TimeTracker
+    equivalent, ``net.py:453-483``).  Each stage is jitted and timed
+    separately on its real intermediate inputs — stage boundaries mirror
+    ``MaskEstimator.apply`` (no permutation trials / dropout, so the sum
+    approximates, not equals, the fused step)."""
+    import time
+
+    import jax.numpy as jnp
+
+    me = model.mask_estimator
+    mp = params['mask_estimator']
+    rows = []
+
+    def timed(name, fn, *args):
+        jfn = jax.jit(fn)
+        out = jfn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(jnp.abs(leaf).astype(jnp.float32)))  # compile+sync
+        t0 = time.perf_counter()
+        for i in range(iters):
+            # vary the input: relay runtimes dedupe identical executions
+            a0 = args[0] * (1 + 1e-6 * (i + 1)) \
+                if hasattr(args[0], 'shape') else args[0]
+            out = jfn(a0, *args[1:])
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            float(jnp.sum(jnp.abs(leaf).astype(jnp.float32)))
+        dt = (time.perf_counter() - t0) / iters * 1000
+        rows.append((name, tuple(int(d) for d in leaf.shape), dt))
+        return out
+
+    obs = example.get('observation')
+    if obs is None:
+        return 'layer time report needs an example with observation'
+    obs = jnp.asarray(obs)
+    if obs.ndim == 2:
+        obs = obs[None]
+    Obs = timed('fe.stft', model.fe.stft, obs)
+    xs = timed('fe.stft_to_feature',
+               lambda o: model.fe.stft_to_feature(
+                   o[..., 0, :, :]).astype(jnp.float32), Obs)
+
+    aux = jnp.asarray(example['auxInput']).astype(jnp.float32)
+    if aux.ndim == 2:
+        aux = aux[None]
+    if me.aux_net is not None:
+        aux = timed('aux_net',
+                    lambda a: me.aux_net.apply(params['mask_estimator'][
+                        'aux_net'], a), aux)
+    if me.input_normalizer is not None:
+        xs = timed('input_normalizer', me.input_normalizer, xs)
+    if me.pre_net is not None:
+        xs = timed('pre_net',
+                   lambda x: me.pre_net.apply(mp['pre_net'], x), xs)
+
+    from tssep_tpu.nn.estimator import COMPUTE_DTYPE
+    if COMPUTE_DTYPE is not None:
+        xs = xs.astype(COMPUTE_DTYPE)
+        aux = aux.astype(COMPUTE_DTYPE)
+
+    if me.combination == 'mul':
+        h = timed('conditioning (mul)',
+                  lambda x, a: x[:, None, :, :] * a[:, :, None, :], xs, aux)
+    else:
+        h = timed('conditioning (cat)',
+                  lambda x, a: jnp.concatenate([
+                      jnp.broadcast_to(
+                          x[:, None], (x.shape[0], a.shape[1]) + x.shape[1:]),
+                      jnp.broadcast_to(
+                          a[:, :, None, :],
+                          (x.shape[0], a.shape[1], x.shape[1], a.shape[-1])),
+                  ], axis=-1), xs, aux)
+
+    for l in range(me.layers):
+        birnn = me.birnns[l]
+        if l == me.layers - 1 and me.ts_vad:
+            h = jnp.swapaxes(
+                jnp.swapaxes(h, 1, 2).reshape(
+                    h.shape[0], h.shape[2], 1, -1), 1, 2)
+        lp = mp['post_net'][f'birnn{l}']
+        h = timed(f'post_net.birnn{l}',
+                  lambda x, _lp=lp, _b=birnn: _b.apply(_lp, x), h)
+        if l < me.layers - 1:
+            h = jnp.tanh(h)
+    lin = mp['post_net'][f'linear{me.layers - 1}']
+    timed('head (linear+sigmoid)',
+          lambda x: jax.nn.sigmoid(
+              x @ lin['weight'].T.astype(x.dtype)
+              + lin['bias'].astype(x.dtype)), h)
+
+    width = max(len(n) for n, _, _ in rows)
+    total = sum(dt for _, _, dt in rows)
+    lines = [f'{n:<{width}}  {str(s):<28} {dt:9.2f} ms'
+             for n, s, dt in rows]
+    lines.append('-' * (width + 42))
+    lines.append(f'{"total (unfused sum)":<{width}}  {"":<28} '
+                 f'{total:9.2f} ms')
+    return '\n'.join(lines)
