@@ -51,6 +51,26 @@ def main():
     assert e < 2e-3, e
     print('BIDI KERNEL OK')
 
+    # Layer-level projection-recompute VJP
+    def loss_layer(p, x):
+        return jnp.sum(kb.blstm_layer_fused(p, x) ** 2)
+
+    out_layer = jax.jit(lambda p, x: kb.blstm_layer_fused(p, x))(params, x)
+    e = float(jnp.max(jnp.abs(ref - out_layer)))
+    print('layer-vjp fwd max err:', e)
+    assert e < 2e-3, e
+    g_lay = jax.jit(jax.grad(loss_layer))(params, x)
+    gx_lay = jax.jit(jax.grad(loss_layer, argnums=1))(params, x)
+    for k in sorted(g_ref):
+        a, b = np.asarray(g_ref[k]), np.asarray(g_lay[k])
+        e = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+        print(f'  layer-vjp grad {k}: rel err {e:.2e}')
+        assert e < 5e-3, (k, e)
+    e = float(jnp.max(jnp.abs(gx_ref - gx_lay)))
+    print('layer-vjp input grad max err:', e)
+    assert e < 2e-3, e
+    print('LAYER VJP OK')
+
 
 if __name__ == '__main__':
     main()

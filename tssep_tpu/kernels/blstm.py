@@ -601,3 +601,146 @@ def blstm_apply_fused_bidi(params, x, *, hidden_size):
     hsr = jnp.flip(hsr[:real_t], axis=0)[:, :real_b]
     out = jnp.concatenate([hsf, hsr], axis=-1)
     return jnp.swapaxes(out, 0, 1).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Layer-level custom VJP: recompute input projections instead of remat
+# ---------------------------------------------------------------------------
+# With ``jax.checkpoint`` around the layer (the scan path's memory strategy)
+# the backward pass re-runs the WHOLE forward recurrence.  The kernel's
+# backward only needs (xg, hs, cs); xg is a cheap parallel matmul away from
+# the layer input x.  Saving (x, hs, cs) and recomputing xg in backward
+# gives no-remat speed at near-remat memory:
+#   residuals/layer: x (B,T,I) + 4x(T,B,H) states
+#   vs remat:        x only, but backward re-runs the serial recurrence
+#   vs no remat:     adds 2x xg (T,B,4H) — the dominant term.
+
+def _bidi_prep(x, params):
+    def xg_of(suffix):
+        w_ih = params['weight_ih_l0' + suffix].astype(x.dtype)
+        bias = (params['bias_ih_l0' + suffix]
+                + params['bias_hh_l0' + suffix]).astype(x.dtype)
+        xg = x @ w_ih.T + bias
+        return jnp.swapaxes(xg, 0, 1).astype(STORAGE_DTYPE)  # (T, B, 4H)
+
+    xgf = xg_of('')
+    xgr = jnp.flip(xg_of('_reverse'), axis=0)
+    multiple = (BIDI_BATCH_BLOCK if xgf.shape[1] >= BIDI_BATCH_BLOCK else 8)
+    xgf, real_b = _pad_batch(xgf, multiple)
+    xgr, _ = _pad_batch(xgr, multiple)
+    xgf, real_t = _pad_time_multiple(xgf, TIME_BLOCK)
+    xgr, _ = _pad_time_multiple(xgr, TIME_BLOCK)
+    wf_t = params['weight_hh_l0'].T.astype(STORAGE_DTYPE)
+    wr_t = params['weight_hh_l0_reverse'].T.astype(STORAGE_DTYPE)
+    return xgf, xgr, wf_t, wr_t, real_b, real_t
+
+
+def _bidi_out(hsf, hsr, real_b, real_t, dtype):
+    hsf = hsf[:real_t, :real_b]
+    hsr = jnp.flip(hsr[:real_t], axis=0)[:, :real_b]
+    out = jnp.concatenate([hsf, hsr], axis=-1)
+    return jnp.swapaxes(out, 0, 1).astype(dtype)
+
+
+@jax.custom_vjp
+def blstm_layer_fused(params, x):
+    """One bidirectional layer, interleaved kernel, projection-recompute
+    VJP.  x: (B, T, I) -> (B, T, 2H)."""
+    xgf, xgr, wf_t, wr_t, real_b, real_t = _bidi_prep(x, params)
+    hsf, hsr = _bi_core(xgf, xgr, wf_t, wr_t)
+    return _bidi_out(hsf, hsr, real_b, real_t, x.dtype)
+
+
+def _layer_fwd(params, x):
+    xgf, xgr, wf_t, wr_t, real_b, real_t = _bidi_prep(x, params)
+    hsf, hsr, csf, csr = _bi_core_fwd_impl(xgf, xgr, wf_t, wr_t)
+    out = _bidi_out(hsf, hsr, real_b, real_t, x.dtype)
+    return out, (params, x, hsf, hsr, csf, csr, real_b, real_t)
+
+
+def _layer_bwd(residuals, dout):
+    params, x, hsf, hsr, csf, csr, real_b, real_t = residuals
+    B, T, I = x.shape
+    hidden = hsf.shape[-1]
+
+    # Recompute the (padded) input projections — parallel MXU work
+    xgf, xgr, wf_t, wr_t, _, _ = _bidi_prep(x, params)
+    seq_len, b_pad = xgf.shape[0], xgf.shape[1]
+
+    # Cotangents back into walked (time-major, padded) layout
+    dhsf = jnp.swapaxes(dout[..., :hidden], 0, 1)            # (T, B, H)
+    dhsr = jnp.flip(jnp.swapaxes(dout[..., hidden:], 0, 1), axis=0)
+    pad_t = seq_len - real_t
+    pad_b = b_pad - B
+
+    def pad_ct(d):
+        return jnp.pad(d.astype(jnp.float32),
+                       [(0, pad_t), (0, pad_b), (0, 0)])
+
+    dhsf = pad_ct(dhsf)
+    # reverse cotangent flip happens in original coordinates; padding goes
+    # to the END of the walked order like the inputs
+    dhsr = pad_ct(dhsr)
+
+    def prevs(hs, cs):
+        zeros = jnp.zeros((1,) + hs.shape[1:], hs.dtype)
+        return (jnp.concatenate([zeros, hs[:-1]], axis=0),
+                jnp.concatenate([zeros, cs[:-1]], axis=0))
+
+    hpf, cpf = prevs(hsf, csf)
+    hpr, cpr = prevs(hsr, csr)
+
+    bb = min(b_pad, BIDI_BATCH_BLOCK)
+    nb = b_pad // bb
+    k = TIME_BLOCK
+    ntb = seq_len // k
+    gh = 4 * hidden
+    rev = lambda i, t: ((ntb - 1 - t), i, 0)  # noqa: E731
+    xg_s = pl.BlockSpec((k, bb, gh), rev, memory_space=pltpu.VMEM)
+    w_s = pl.BlockSpec((hidden, gh), lambda i, t: (0, 0),
+                       memory_space=pltpu.VMEM)
+    h_s = pl.BlockSpec((k, bb, hidden), rev, memory_space=pltpu.VMEM)
+    dxgf, dxgr, dwf, dwr = pl.pallas_call(
+        functools.partial(_bi_bwd_kernel, hidden=hidden, time_block=k),
+        grid=(nb, ntb),
+        in_specs=[xg_s, xg_s, w_s, w_s,
+                  h_s, h_s, h_s, h_s,
+                  h_s, h_s, h_s, h_s],
+        out_specs=[xg_s, xg_s, w_s, w_s],
+        out_shape=[
+            jax.ShapeDtypeStruct((seq_len, b_pad, gh), xgf.dtype),
+            jax.ShapeDtypeStruct((seq_len, b_pad, gh), xgf.dtype),
+            jax.ShapeDtypeStruct((hidden, gh), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, gh), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((hidden, gh), jnp.float32),
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((hidden, gh), jnp.float32),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+    )(xgf, xgr, wf_t, wr_t, hpf, cpf, csf, dhsf, hpr, cpr, csr, dhsr)
+
+    # Un-pad, back to (B, T, 4H) batch-major; reverse stream un-flipped
+    dxgf = jnp.swapaxes(dxgf[:real_t, :B].astype(jnp.float32), 0, 1)
+    dxgr = jnp.swapaxes(
+        jnp.flip(dxgr[:real_t], axis=0)[:, :B].astype(jnp.float32), 0, 1)
+
+    xf32 = x.astype(jnp.float32)
+    d_params = {}
+    for suffix, dxg, dwhh in (('', dxgf, dwf), ('_reverse', dxgr, dwr)):
+        d_params['weight_ih_l0' + suffix] = jnp.einsum(
+            'btg,bti->gi', dxg, xf32)
+        db = jnp.sum(dxg, axis=(0, 1))
+        d_params['bias_ih_l0' + suffix] = db
+        d_params['bias_hh_l0' + suffix] = db
+        d_params['weight_hh_l0' + suffix] = dwhh.T
+    dx = (dxgf @ params['weight_ih_l0'].astype(jnp.float32)
+          + dxgr @ params['weight_ih_l0_reverse'].astype(jnp.float32))
+    return d_params, dx.astype(x.dtype)
+
+
+blstm_layer_fused.defvjp(_layer_fwd, _layer_bwd)

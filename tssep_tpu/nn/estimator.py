@@ -255,6 +255,32 @@ class MaskEstimator(Configurable):
             params['aux_net'] = self.aux_net.init(keys[self.layers + 2])
         return params
 
+    def reshape_head(self, logit, S, T):
+        """Head rearrange: post-net linear output -> (B', S, nmask, T, Fh)
+        (both head layouts of reference ``net.py:629-661``; the 't'
+        resolution broadcasts per-frame scalars over frequency)."""
+        logit = logit.astype(jnp.float32)
+        M = self.nmask
+        if self.output_resolution == 'tf':
+            Fh = self.odim + int(self.explicit_vad)
+            if self.ts_vad:
+                # (B', 1, T, S*M*Fh)
+                logit = logit.reshape(logit.shape[0], T, S, M, Fh)
+                logit = jnp.transpose(logit, (0, 2, 3, 1, 4))
+            else:
+                logit = logit.reshape(logit.shape[0], S, T, M, Fh)
+                logit = jnp.transpose(logit, (0, 1, 3, 2, 4))
+        else:  # 't'
+            if self.ts_vad:
+                logit = logit.reshape(logit.shape[0], T, S, M)
+                logit = jnp.transpose(logit, (0, 2, 3, 1))
+            else:
+                logit = logit.reshape(logit.shape[0], S, T, M)
+                logit = jnp.transpose(logit, (0, 1, 3, 2))
+            logit = jnp.broadcast_to(logit[..., None],
+                                     logit.shape + (self.odim,))
+        return logit
+
     # -- forward -----------------------------------------------------------
     def apply(self, params, xs, aux, *, rng=None, training=False,
               aux_lengths=None) -> Output:
@@ -338,28 +364,7 @@ class MaskEstimator(Configurable):
         lin = params['post_net'][f'linear{self.layers - 1}']
         logit = (h @ lin['weight'].T.astype(h.dtype)
                  + lin['bias'].astype(h.dtype))
-        logit = logit.astype(jnp.float32)
-
-        # head rearrange -> (B', S, nmask, T, Fh)
-        M = self.nmask
-        if self.output_resolution == 'tf':
-            Fh = self.odim + int(self.explicit_vad)
-            if self.ts_vad:
-                # (B', 1, T, S*M*Fh)
-                logit = logit.reshape(logit.shape[0], T, S, M, Fh)
-                logit = jnp.transpose(logit, (0, 2, 3, 1, 4))
-            else:
-                logit = logit.reshape(logit.shape[0], S, T, M, Fh)
-                logit = jnp.transpose(logit, (0, 1, 3, 2, 4))
-        else:  # 't'
-            if self.ts_vad:
-                logit = logit.reshape(logit.shape[0], T, S, M)
-                logit = jnp.transpose(logit, (0, 2, 3, 1))
-            else:
-                logit = logit.reshape(logit.shape[0], S, T, M)
-                logit = jnp.transpose(logit, (0, 1, 3, 2))
-            logit = jnp.broadcast_to(logit[..., None],
-                                     logit.shape + (self.odim,))
+        logit = self.reshape_head(logit, S, T)
 
         # 7. un-average permutation trials
         if trials > 1:
