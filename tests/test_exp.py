@@ -273,3 +273,13 @@ def test_async_checkpoints(tmp_path):
     nv['eg.trainer.stop_trigger'] = [4, 'iteration']
     eg2: Experiment = from_config(Experiment.get_config(config2['eg']))
     assert eg2.train() == 4
+
+
+def test_cli_flag_parsing():
+    """'--pdb'-style flags are accepted and don't pollute files/overrides."""
+    from tssep_tpu.train.run import parse_argv
+    command, files, overrides = parse_argv(
+        ['train', 'with', 'cfg.yaml', 'a.b=1', '--pdb'])
+    assert command == 'train'
+    assert files == ['cfg.yaml']
+    assert overrides == {'a.b': 1}

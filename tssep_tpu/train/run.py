@@ -28,16 +28,19 @@ __all__ = ['main', 'build_config', 'init', 'train']
 
 
 def parse_argv(argv):
-    """Returns (command, config_files, overrides)."""
+    """Returns (command, config_files, overrides[, flags via '--...'])."""
     command = 'train'
     rest = list(argv)
+    flags = set()
     if rest and rest[0] in ('init', 'train', 'makefile', 'print_config'):
         command = rest.pop(0)
     if rest and rest[0] == 'with':
         rest.pop(0)
     files, overrides = [], {}
     for token in rest:
-        if '=' in token and not token.endswith(('.yaml', '.yml')):
+        if token.startswith('--'):
+            flags.add(token[2:])      # handled by main() (e.g. --pdb)
+        elif '=' in token and not token.endswith(('.yaml', '.yml')):
             key, _, value = token.partition('=')
             overrides[key] = yaml.safe_load(value)
         else:
@@ -182,18 +185,30 @@ def main(argv=None):
     honor_jax_platforms_env()
     if argv is None:
         argv = sys.argv[1:]
+    use_pdb = '--pdb' in argv
     command, files, overrides = parse_argv(argv)
     config = build_config(files, overrides)
-    if command == 'print_config':
-        print(dumps_yaml(config))
-    elif command == 'init':
-        init(config)
-    elif command == 'makefile':
-        write_makefile(config['eg']['trainer']['storage_dir'])
-    elif command == 'train':
-        train(config)
-    else:
-        raise ValueError(command)
+    try:
+        if command == 'print_config':
+            print(dumps_yaml(config))
+        elif command == 'init':
+            init(config)
+        elif command == 'makefile':
+            write_makefile(config['eg']['trainer']['storage_dir'])
+        elif command == 'train':
+            train(config)
+        else:
+            raise ValueError(command)
+    except Exception:
+        if not use_pdb:
+            raise
+        # sacred's --pdb equivalent (reference run.py CLI surface):
+        # drop into the post-mortem debugger at the failure point.
+        import pdb
+        import traceback
+        traceback.print_exc()
+        pdb.post_mortem()
+        raise
 
 
 if __name__ == '__main__':
