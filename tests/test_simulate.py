@@ -67,3 +67,20 @@ def test_corpus_roundtrip_and_training(tmp_path):
     params = model.init_params(jax.random.PRNGKey(0))
     loss, _ = model.loss_fn(params, arrays, rng=jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
+def test_multichannel_recipe_end_to_end(tmp_path):
+    """The >=6-mic reverberant rehearsal: train both stages briefly, score
+    masking AND the ClassicBF MVDR path (exp/run_simulated.py
+    main_multichannel at CI scale)."""
+    from tssep_tpu.exp.run_simulated import main
+    out = main(tmp_path / 'mc', train_examples=4, eval_examples=2,
+               tsvad_iters=6, tssep_iters=6, batch=2, aux_size=513,
+               duration=2.0, num_channels=6, reverb_taps=2)
+    vad_m, sep_m, bf_m = out
+    assert vad_m['summary']['num_recordings'] == 2
+    # the MVDR path produced scored output for every recording
+    assert bf_m['summary']['num_recordings'] == 2
+    assert 'mean_si_sdr' in bf_m['summary']
+    assert np.isfinite(bf_m['summary']['mean_si_sdr'])

@@ -152,6 +152,10 @@ VMEM_LIMIT = int(__import__("os").environ.get(
     "TSSEP_PALLAS_VMEM_LIMIT", str(100 * 1024 * 1024)))
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
 
+#: Interpret mode: run the kernels through the Pallas interpreter (works on
+#: CPU) — for testing kernel logic without TPU hardware.
+INTERPRET = _os.environ.get('TSSEP_PALLAS_INTERPRET', '0') != '0'
+
 #: Per-grid-step batch block: bounds the kernel's VMEM working set (the
 #: batch axis is embarrassingly parallel; t stays the inner, sequential
 #: grid axis so the recurrence carry in scratch is per batch block).
@@ -216,6 +220,7 @@ def _core_fwd_impl(xg, w_hh_t):
             pltpu.VMEM((bb, hidden), jnp.float32),
         ],
         compiler_params=_COMPILER_PARAMS,
+        interpret=INTERPRET,
     )(xg, w_hh_t)
     return hs, cs
 
@@ -276,6 +281,7 @@ def _lstm_core_bwd(residuals, dhs):
             pltpu.VMEM((hidden, gh), jnp.float32),
         ],
         compiler_params=_COMPILER_PARAMS,
+        interpret=INTERPRET,
     )(xg, w_hh_t, hs_prev, cs_prev, cs, dhs)
     return dxg.astype(jnp.float32), dwhh
 
@@ -501,6 +507,7 @@ def _bi_core_fwd_impl(xgf, xgr, wf_t, wr_t):
         out_shape=[jax.ShapeDtypeStruct((seq_len, b, hidden), sdt)] * 4,
         scratch_shapes=[pltpu.VMEM((bb, hidden), jnp.float32)] * 4,
         compiler_params=_COMPILER_PARAMS,
+        interpret=INTERPRET,
     )(xgf, xgr, wf_t, wr_t)
     return out  # hsf, hsr, csf, csr
 
@@ -565,6 +572,7 @@ def _bi_core_bwd(residuals, cotangents):
             pltpu.VMEM((hidden, gh), jnp.float32),
         ],
         compiler_params=_COMPILER_PARAMS,
+        interpret=INTERPRET,
     )(xgf, xgr, wf_t, wr_t, hpf, cpf, csf, dhsf, hpr, cpr, csr, dhsr)
     return (dxgf.astype(jnp.float32), dxgr.astype(jnp.float32), dwf, dwr)
 
@@ -722,6 +730,7 @@ def _layer_bwd(residuals, dout):
             pltpu.VMEM((hidden, gh), jnp.float32),
         ],
         compiler_params=_COMPILER_PARAMS,
+        interpret=INTERPRET,
     )(xgf, xgr, wf_t, wr_t, hpf, cpf, csf, dhsf, hpr, cpr, csr, dhsr)
 
     # Un-pad, back to (B, T, 4H) batch-major; reverse stream un-flipped
@@ -744,3 +753,318 @@ def _layer_bwd(residuals, dout):
 
 
 blstm_layer_fused.defvjp(_layer_fwd, _layer_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused layer: in-kernel input projections
+# ---------------------------------------------------------------------------
+# The xg = x @ W_ih^T tensors are (T, B, 4H) per direction — at flagship
+# dims ~1.5 GB each in bf16, written once and re-read by the recurrence.
+# Streaming the raw x blocks (T, B, F: ~3x smaller than ONE xg) and doing
+# the input projection on the MXU inside the serial loop removes that HBM
+# round-trip entirely; in the latency-bound regime the extra per-step
+# matmul rides in MXU idle slots.  Backward accumulates dW_ih in VMEM and
+# recomputes the gates from x (no xg residual at all).
+
+def _ff_fwd_kernel(xs_ref, xr_ref, wihf_ref, wihr_ref, bf_ref, br_ref,
+                   wf_ref, wr_ref,
+                   hsf_ref, hsr_ref, csf_ref, csr_ref,
+                   hf_scr, cf_scr, hr_scr, cr_scr, *, hidden, time_block):
+    tb = pl.program_id(1)
+
+    @pl.when(tb == 0)
+    def _():
+        hf_scr[:] = jnp.zeros_like(hf_scr)
+        cf_scr[:] = jnp.zeros_like(cf_scr)
+        hr_scr[:] = jnp.zeros_like(hr_scr)
+        cr_scr[:] = jnp.zeros_like(cr_scr)
+
+    def cell(x_t, b_ref, wih_ref, whh_ref, h, c):
+        gates = (jnp.dot(x_t, wih_ref[:],
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(h.astype(whh_ref.dtype), whh_ref[:],
+                           preferred_element_type=jnp.float32)
+                 + b_ref[:].astype(jnp.float32))
+        i = jax.nn.sigmoid(gates[:, :hidden])
+        f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return h, c
+
+    def step(k, _):
+        hf, cf = cell(xs_ref[k], bf_ref, wihf_ref, wf_ref,
+                      hf_scr[:], cf_scr[:])
+        hr, cr = cell(xr_ref[k], br_ref, wihr_ref, wr_ref,
+                      hr_scr[:], cr_scr[:])
+        hf_scr[:] = hf
+        cf_scr[:] = cf
+        hr_scr[:] = hr
+        cr_scr[:] = cr
+        hsf_ref[k] = hf.astype(hsf_ref.dtype)
+        csf_ref[k] = cf.astype(csf_ref.dtype)
+        hsr_ref[k] = hr.astype(hsr_ref.dtype)
+        csr_ref[k] = cr.astype(csr_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, time_block, step, 0)
+
+
+def _ff_bwd_kernel(xs_ref, xr_ref, wihf_ref, wihr_ref, bf_ref, br_ref,
+                   wf_ref, wr_ref,
+                   hpf_ref, cpf_ref, cf_ref, dhsf_ref,
+                   hpr_ref, cpr_ref, cr_ref, dhsr_ref,
+                   dxa_ref, dxb_ref, dwihf_ref, dwihr_ref,
+                   dbf_ref, dbr_ref, dwf_ref, dwr_ref,
+                   dhf_scr, dcf_scr, dwf_scr, dwihf_scr, dbf_scr,
+                   dhr_scr, dcr_scr, dwr_scr, dwihr_scr, dbr_scr,
+                   *, hidden, time_block):
+    tb = pl.program_id(1)
+    bblk = pl.program_id(0)
+    n_tb = pl.num_programs(1)
+
+    @pl.when(tb == 0)
+    def _():
+        for scr in (dhf_scr, dcf_scr, dwf_scr, dwihf_scr, dbf_scr,
+                    dhr_scr, dcr_scr, dwr_scr, dwihr_scr, dbr_scr):
+            scr[:] = jnp.zeros_like(scr)
+
+    def one_direction(k, x_ref, b_ref, wih_ref, w_ref, hp_ref, cp_ref,
+                      c_ref, dhs_ref, dx_ref, dh_scr, dc_scr, dw_scr,
+                      dwih_scr, db_scr):
+        x_t = x_ref[k]
+        h_prev = hp_ref[k]
+        c_prev = cp_ref[k].astype(jnp.float32)
+        c_t = c_ref[k].astype(jnp.float32)
+
+        gates = (jnp.dot(x_t, wih_ref[:],
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(h_prev, w_ref[:],
+                           preferred_element_type=jnp.float32)
+                 + b_ref[:].astype(jnp.float32))
+        i = jax.nn.sigmoid(gates[:, :hidden])
+        f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+
+        dh = dh_scr[:] + dhs_ref[k]
+        tanh_c = jnp.tanh(c_t)
+        do = dh * tanh_c
+        dc = dc_scr[:] + dh * o * (1 - tanh_c * tanh_c)
+        di = dc * g
+        df = dc * c_prev
+        dg = dc * i
+        dgates = jnp.concatenate([
+            di * i * (1 - i),
+            df * f * (1 - f),
+            dg * (1 - g * g),
+            do * o * (1 - o),
+        ], axis=1)
+
+        dx_ref[k] = jnp.dot(
+            dgates, wih_ref[:].T.astype(dgates.dtype),
+            preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+        dwih_scr[:] += jnp.dot(x_t.T.astype(dgates.dtype), dgates,
+                               preferred_element_type=jnp.float32)
+        db_scr[:] += jnp.sum(dgates, axis=0, keepdims=True)
+        dw_scr[:] += jnp.dot(h_prev.T.astype(dgates.dtype), dgates,
+                             preferred_element_type=jnp.float32)
+        dh_scr[:] = jnp.dot(dgates, w_ref[:].T.astype(dgates.dtype),
+                            preferred_element_type=jnp.float32)
+        dc_scr[:] = dc * f
+
+    def step(j, _):
+        k = time_block - 1 - j
+        one_direction(k, xs_ref, bf_ref, wihf_ref, wf_ref, hpf_ref,
+                      cpf_ref, cf_ref, dhsf_ref, dxa_ref,
+                      dhf_scr, dcf_scr, dwf_scr, dwihf_scr, dbf_scr)
+        one_direction(k, xr_ref, br_ref, wihr_ref, wr_ref, hpr_ref,
+                      cpr_ref, cr_ref, dhsr_ref, dxb_ref,
+                      dhr_scr, dcr_scr, dwr_scr, dwihr_scr, dbr_scr)
+        return 0
+
+    jax.lax.fori_loop(0, time_block, step, 0)
+
+    @pl.when(tb == n_tb - 1)
+    def _():
+        pairs = ((dwf_ref, dwf_scr), (dwr_ref, dwr_scr),
+                 (dwihf_ref, dwihf_scr), (dwihr_ref, dwihr_scr),
+                 (dbf_ref, dbf_scr), (dbr_ref, dbr_scr))
+
+        @pl.when(bblk == 0)
+        def _():
+            for ref, scr in pairs:
+                ref[:] = scr[:]
+
+        @pl.when(bblk > 0)
+        def _():
+            for ref, scr in pairs:
+                ref[:] += scr[:]
+
+        for _, scr in pairs:
+            scr[:] = jnp.zeros_like(scr)
+
+
+def _ff_prep(x, params):
+    xs = jnp.swapaxes(x, 0, 1).astype(STORAGE_DTYPE)      # (T, B, F)
+    xr = jnp.flip(xs, axis=0)
+    multiple = (BIDI_BATCH_BLOCK if xs.shape[1] >= BIDI_BATCH_BLOCK else 8)
+    xs, real_b = _pad_batch(xs, multiple)
+    xr, _ = _pad_batch(xr, multiple)
+    xs, real_t = _pad_time_multiple(xs, TIME_BLOCK)
+    xr, _ = _pad_time_multiple(xr, TIME_BLOCK)
+
+    def w_of(suffix):
+        wih = params['weight_ih_l0' + suffix].T.astype(STORAGE_DTYPE)
+        b = (params['bias_ih_l0' + suffix]
+             + params['bias_hh_l0' + suffix])[None].astype(jnp.float32)
+        whh = params['weight_hh_l0' + suffix].T.astype(STORAGE_DTYPE)
+        return wih, b, whh                               # (F,4H),(1,4H),(H,4H)
+
+    wihf, bf, wf = w_of('')
+    wihr, br, wr = w_of('_reverse')
+    return xs, xr, wihf, wihr, bf, br, wf, wr, real_b, real_t
+
+
+def _ff_fwd_impl(xs, xr, wihf, wihr, bf, br, wf, wr):
+    seq_len, b, feat = xs.shape
+    hidden = wf.shape[0]
+    gh = 4 * hidden
+    bb = min(b, BIDI_BATCH_BLOCK)
+    nb = b // bb
+    k = TIME_BLOCK
+    ntb = seq_len // k
+    x_s = pl.BlockSpec((k, bb, feat), lambda i, t: (t, i, 0),
+                       memory_space=pltpu.VMEM)
+    wih_s = pl.BlockSpec((feat, gh), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM)
+    b_s = pl.BlockSpec((1, gh), lambda i, t: (0, 0),
+                       memory_space=pltpu.VMEM)
+    w_s = pl.BlockSpec((hidden, gh), lambda i, t: (0, 0),
+                       memory_space=pltpu.VMEM)
+    h_s = pl.BlockSpec((k, bb, hidden), lambda i, t: (t, i, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ff_fwd_kernel, hidden=hidden, time_block=k),
+        grid=(nb, ntb),
+        in_specs=[x_s, x_s, wih_s, wih_s, b_s, b_s, w_s, w_s],
+        out_specs=[h_s, h_s, h_s, h_s],
+        out_shape=[jax.ShapeDtypeStruct((seq_len, b, hidden),
+                                        xs.dtype)] * 4,
+        scratch_shapes=[pltpu.VMEM((bb, hidden), jnp.float32)] * 4,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=INTERPRET,
+    )(xs, xr, wihf, wihr, bf, br, wf, wr)
+
+
+@jax.custom_vjp
+def blstm_layer_fullfused(params, x):
+    """Bidirectional layer with in-kernel input projections.
+
+    x: (B, T, F) -> (B, T, 2H).  No xg tensors ever exist in HBM.
+    """
+    xs, xr, wihf, wihr, bf, br, wf, wr, real_b, real_t = _ff_prep(x, params)
+    hsf, hsr, _, _ = _ff_fwd_impl(xs, xr, wihf, wihr, bf, br, wf, wr)
+    return _bidi_out(hsf, hsr, real_b, real_t, x.dtype)
+
+
+def _ff_layer_fwd(params, x):
+    xs, xr, wihf, wihr, bf, br, wf, wr, real_b, real_t = _ff_prep(x, params)
+    hsf, hsr, csf, csr = _ff_fwd_impl(xs, xr, wihf, wihr, bf, br, wf, wr)
+    out = _bidi_out(hsf, hsr, real_b, real_t, x.dtype)
+    return out, (params, x, hsf, hsr, csf, csr, real_b, real_t)
+
+
+def _ff_layer_bwd(residuals, dout):
+    params, x, hsf, hsr, csf, csr, real_b, real_t = residuals
+    B, T, feat = x.shape
+    hidden = hsf.shape[-1]
+    gh = 4 * hidden
+
+    xs, xr, wihf, wihr, bf, br, wf, wr, _, _ = _ff_prep(x, params)
+    seq_len, b_pad = xs.shape[0], xs.shape[1]
+
+    dhsf = jnp.swapaxes(dout[..., :hidden], 0, 1)
+    dhsr = jnp.flip(jnp.swapaxes(dout[..., hidden:], 0, 1), axis=0)
+    pad_t = seq_len - real_t
+    pad_b = b_pad - B
+
+    def pad_ct(d):
+        return jnp.pad(d.astype(jnp.float32),
+                       [(0, pad_t), (0, pad_b), (0, 0)])
+
+    dhsf = pad_ct(dhsf)
+    dhsr = pad_ct(dhsr)
+
+    def prevs(hs, cs):
+        zeros = jnp.zeros((1,) + hs.shape[1:], hs.dtype)
+        return (jnp.concatenate([zeros, hs[:-1]], axis=0),
+                jnp.concatenate([zeros, cs[:-1]], axis=0))
+
+    hpf, cpf = prevs(hsf, csf)
+    hpr, cpr = prevs(hsr, csr)
+
+    bb = min(b_pad, BIDI_BATCH_BLOCK)
+    nb = b_pad // bb
+    k = TIME_BLOCK
+    ntb = seq_len // k
+    rev = lambda i, t: ((ntb - 1 - t), i, 0)  # noqa: E731
+    x_s = pl.BlockSpec((k, bb, feat), rev, memory_space=pltpu.VMEM)
+    wih_s = pl.BlockSpec((feat, gh), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM)
+    b_s = pl.BlockSpec((1, gh), lambda i, t: (0, 0),
+                       memory_space=pltpu.VMEM)
+    w_s = pl.BlockSpec((hidden, gh), lambda i, t: (0, 0),
+                       memory_space=pltpu.VMEM)
+    h_s = pl.BlockSpec((k, bb, hidden), rev, memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_ff_bwd_kernel, hidden=hidden, time_block=k),
+        grid=(nb, ntb),
+        in_specs=[x_s, x_s, wih_s, wih_s, b_s, b_s, w_s, w_s,
+                  h_s, h_s, h_s, h_s,
+                  h_s, h_s, h_s, h_s],
+        out_specs=[x_s, x_s, wih_s, wih_s, b_s, b_s, w_s, w_s],
+        out_shape=[
+            jax.ShapeDtypeStruct((seq_len, b_pad, feat), jnp.float32),
+            jax.ShapeDtypeStruct((seq_len, b_pad, feat), jnp.float32),
+            jax.ShapeDtypeStruct((feat, gh), jnp.float32),
+            jax.ShapeDtypeStruct((feat, gh), jnp.float32),
+            jax.ShapeDtypeStruct((1, gh), jnp.float32),
+            jax.ShapeDtypeStruct((1, gh), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, gh), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, gh), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((hidden, gh), jnp.float32),
+            pltpu.VMEM((feat, gh), jnp.float32),
+            pltpu.VMEM((1, gh), jnp.float32),
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((hidden, gh), jnp.float32),
+            pltpu.VMEM((feat, gh), jnp.float32),
+            pltpu.VMEM((1, gh), jnp.float32),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=INTERPRET,
+    )(xs, xr, wihf, wihr, bf, br, wf, wr,
+      hpf, cpf, csf, dhsf, hpr, cpr, csr, dhsr)
+    dxa, dxb, dwihf, dwihr, dbf, dbr, dwhf, dwhr = outs
+
+    dxa = dxa[:real_t, :B]
+    dxb = jnp.flip(dxb[:real_t], axis=0)[:, :B]
+    dx = jnp.swapaxes(dxa + dxb, 0, 1).astype(x.dtype)
+
+    d_params = {}
+    for suffix, dwih, db, dwhh in (('', dwihf, dbf, dwhf),
+                                   ('_reverse', dwihr, dbr, dwhr)):
+        d_params['weight_ih_l0' + suffix] = dwih.T
+        d_params['bias_ih_l0' + suffix] = db[0]
+        d_params['bias_hh_l0' + suffix] = db[0]
+        d_params['weight_hh_l0' + suffix] = dwhh.T
+    return d_params, dx
+
+
+blstm_layer_fullfused.defvjp(_ff_layer_fwd, _ff_layer_bwd)

@@ -155,6 +155,11 @@ _blstm_pallas_remat = jax.checkpoint(_blstm_pallas, static_argnums=(2, 3))
 #: Opt-in until chip-verified (tools/check_bidi.py, LAYER VJP section).
 LAYER_VJP = os.environ.get('TSSEP_PALLAS_LAYER_VJP', '0') != '0'
 
+#: Fully-fused layer: the input projections run INSIDE the recurrence
+#: kernel (no xg tensors in HBM at all).  Opt-in until chip-verified;
+#: logic validated by the interpreter tests (tests/test_kernels.py).
+FULLFUSE = os.environ.get('TSSEP_PALLAS_FULLFUSE', '0') != '0'
+
 
 def blstm_apply(params, x, *, hidden_size: int, bidirectional=True,
                 remat=None, impl=None):
@@ -168,6 +173,9 @@ def blstm_apply(params, x, *, hidden_size: int, bidirectional=True,
         impl = DEFAULT_IMPL
     impl = _resolve_impl(impl)
     if impl == 'pallas':
+        if bidirectional and FULLFUSE:
+            from tssep_tpu.kernels import blstm as _kb
+            return _kb.blstm_layer_fullfused(params, x)
         if bidirectional and LAYER_VJP:
             from tssep_tpu.kernels import blstm as _kb
             if _kb.BIDI:
