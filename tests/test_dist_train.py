@@ -165,3 +165,24 @@ def test_batch_divisibility_error(tmp_path):
     eg.train_batchsize = 3
     with pytest.raises(ValueError, match='divisible'):
         eg.train()
+
+
+def test_grad_accumulation_under_mesh(tmp_path):
+    """virtual_minibatch_size > 1 under a DP mesh reproduces the
+    single-device accumulated trajectory (same optimizer-step count and
+    parameters)."""
+    eg_s = _prepare(tmp_path, 'single_vmb', mesh=None)
+    eg_s.trainer.virtual_minibatch_size = 2
+    eg_s.train()
+    ref_params = _named(eg_s.trainer.params)
+
+    eg_m = _prepare(tmp_path, 'mesh_vmb', mesh={'data': 4, 'model': 1})
+    eg_m.trainer.virtual_minibatch_size = 2
+    eg_m.train()
+    got_params = _named(eg_m.trainer.params)
+
+    assert eg_m.trainer.iteration == eg_s.trainer.iteration == 3
+    for k in ref_params:
+        np.testing.assert_allclose(
+            got_params[k], ref_params[k], atol=2e-5, rtol=2e-4,
+            err_msg=f'param {k} diverged under mesh accumulation')
