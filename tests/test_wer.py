@@ -108,3 +108,35 @@ def test_orc_wer_guard():
 def test_function_transcriber():
     t = FunctionTranscriber(lambda s, sr: 'hello world')
     assert t(np.zeros(16000), 16000) == 'hello world'
+
+
+def test_driver_score_wer_end_to_end():
+    """EvalDriver.score_wer: a correlation-based fake ASR transcribes the
+    separated streams; cpWER recovers the speaker permutation and scores 0
+    for clean separation."""
+    from tssep_tpu.eval.driver import EvalDriver
+
+    rng = np.random.default_rng(0)
+    texts = ['the first speaker talks', 'second speaker here',
+             'and a third one']
+    refs = rng.normal(size=(3, 8000))
+
+    def fake_asr(samples, sample_rate):
+        # 'recognize' by matching against the known reference signals
+        scores = [abs(np.dot(samples, r)) for r in refs]
+        return texts[int(np.argmax(scores))]
+
+    driver = EvalDriver.__new__(EvalDriver)  # score_wer needs no model
+    # permuted, slightly noisy estimates
+    est = np.stack([refs[2], refs[0], refs[1]]) \
+        + 0.01 * rng.normal(size=(3, 8000))
+    out = driver.score_wer({'time_estimate': est}, texts, fake_asr)
+    assert out['cp_wer'] == 0.0
+    assert out['wer_errors'] == 0
+    assert out['wer_assignment'] == {0: 2, 1: 0, 2: 1}
+
+    # a corrupted stream produces errors
+    est_bad = est.copy()
+    est_bad[0] = rng.normal(size=8000)  # matches some wrong reference
+    out_bad = driver.score_wer({'time_estimate': est_bad}, texts, fake_asr)
+    assert out_bad['wer_errors'] > 0

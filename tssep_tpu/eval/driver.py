@@ -266,6 +266,28 @@ class EvalDriver:
                    frame_shift=self.model.fe.shift
                    / getattr(self.model.reader, 'sample_rate', 16000))
 
+    def score_wer(self, result, reference_transcripts, transcriber,
+                  sample_rate=16000):
+        """cpWER of the separated streams (the DER/WER-parity harness).
+
+        ``reference_transcripts``: one transcript (string or utterance
+        list) per reference speaker; ``transcriber``: any callable
+        ``(samples, sample_rate) -> str`` (``eval.wer.Transcriber``
+        contract).  Each estimated stream is transcribed and the
+        hypothesis->reference speaker assignment minimizing total word
+        errors is used (output order is arbitrary -> cpWER, not plain
+        WER).  Returns the flat dict for metrics.json.
+        """
+        from tssep_tpu.eval.wer import cp_wer
+        est = np.asarray(result['time_estimate'])
+        hyps = [transcriber(stream, sample_rate) for stream in est]
+        res, assignment = cp_wer(reference_transcripts, hyps,
+                                 return_assignment=True)
+        out = {f'wer_{k}': v for k, v in res.as_dict().items()}
+        out['wer_assignment'] = assignment
+        out['cp_wer'] = out.pop('wer_wer')
+        return out
+
 
 def save_wavs(result, out_dir, sample_rate=16000, example_id='recording'):
     """Write per-speaker estimates as WAV files (native codec when built,

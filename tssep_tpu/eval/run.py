@@ -28,8 +28,14 @@ from tssep_tpu.train.run import build_config, parse_argv
 __all__ = ['evaluate', 'main']
 
 
-def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None):
-    """Run the eval driver for an Experiment; returns the metrics dict."""
+def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None,
+             transcriber=None):
+    """Run the eval driver for an Experiment; returns the metrics dict.
+
+    ``transcriber``: optional ASR hook ``(samples, sample_rate) -> str``;
+    recordings whose example dict carries per-speaker reference
+    ``transcription`` are then also scored with cpWER
+    (``EvalDriver.score_wer``)."""
     trainer = eg.trainer
     trainer.ensure_init()
     storage_dir = Path(trainer.storage_dir)
@@ -105,6 +111,10 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None):
         record = {'example_id': str(example_id)}
         if 'vad' in ex:
             record.update(driver.score_der(result, np.asarray(ex['vad'])))
+        if transcriber is not None and 'transcription' in ex:
+            record.update(driver.score_wer(
+                result, ex['transcription'], transcriber,
+                sample_rate=sample_rate))
         target_key = 'speaker_reverberation_early_ch0'
         if target_key in ex:
             tgt = np.asarray(ex[target_key])
@@ -119,7 +129,7 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None):
         print(json.dumps(record))
 
     summary = {'num_recordings': len(records)}
-    for key in ('der', 'si_sdr'):
+    for key in ('der', 'si_sdr', 'cp_wer'):
         vals = [r[key] for r in records if key in r]
         if vals:
             summary[f'mean_{key}'] = float(np.mean(vals))
