@@ -186,3 +186,15 @@ def test_grad_accumulation_under_mesh(tmp_path):
         np.testing.assert_allclose(
             got_params[k], ref_params[k], atol=2e-5, rtol=2e-4,
             err_msg=f'param {k} diverged under mesh accumulation')
+
+
+def test_validation_partial_batch_dropped_under_mesh(tmp_path):
+    """A validation set whose size isn't divisible by the batch leaves a
+    partial tail batch; under a mesh it must be dropped, not crash
+    _place_batch at the first validation trigger."""
+    eg = _prepare(tmp_path, 'valtail', mesh={'data': 4, 'model': 1})
+    # 6 validation examples, batch 4 -> tail batch of 2 (2 % 4 != 0)
+    eg.trainer.model.reader.validate_examples = 6
+    it = eg.train()
+    assert it == 3
+    assert (tmp_path / 'valtail' / 'checkpoints' / 'ckpt_latest.npz').exists()

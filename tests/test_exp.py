@@ -283,3 +283,9 @@ def test_cli_flag_parsing():
     assert command == 'train'
     assert files == ['cfg.yaml']
     assert overrides == {'a.b': 1}
+
+
+def test_cli_unknown_flag_rejected():
+    from tssep_tpu.train.run import parse_argv
+    with pytest.raises(ValueError, match='Unknown flag'):
+        parse_argv(['train', 'with', 'cfg.yaml', '--pdp'])

@@ -35,25 +35,28 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     if _initialized:
         return
     if num_processes is None and coordinator_address is None:
-        # TPU-pod auto-configuration; plain single-host runs (no rendezvous
-        # environment) skip the call instead of noisily failing it.
+        # TPU-pod auto-configuration.  ``TSSEP_MULTIHOST=1`` forces the
+        # attempt (covers pods whose auto-detection lives in the TPU
+        # metadata/libtpu rather than these env vars); ``=0`` forces
+        # single-process.  Otherwise attempt when a rendezvous-ish
+        # environment is visible.  If a pod environment WAS detected, an
+        # init failure raises — silently downgrading a pod slice to N
+        # independent single-process runs produces wrong results with no
+        # error.
         import os
+        force = os.environ.get('TSSEP_MULTIHOST')
+        if force == '0':
+            _initialized = True
+            return
         pod_env = any(v in os.environ for v in (
             'JAX_COORDINATOR_ADDRESS', 'COORDINATOR_ADDRESS',
-            'MEGASCALE_COORDINATOR_ADDRESS'))
+            'MEGASCALE_COORDINATOR_ADDRESS', 'MEGASCALE_NUM_SLICES',
+            'TPU_PROCESS_BOUNDS'))
         # TPU_WORKER_HOSTNAMES with >1 entry implies a pod slice.
         hostnames = os.environ.get('TPU_WORKER_HOSTNAMES', '')
         pod_env = pod_env or len([h for h in hostnames.split(',') if h]) > 1
-        if pod_env:
-            try:
-                jax.distributed.initialize()
-            except Exception as e:  # noqa: BLE001 - fallback, but loud
-                import warnings
-                warnings.warn(
-                    f'jax.distributed.initialize() failed ({e!r}); '
-                    f'continuing single-process. Multi-host runs must set '
-                    f'the coordinator explicitly.', RuntimeWarning,
-                    stacklevel=2)
+        if force == '1' or pod_env:
+            jax.distributed.initialize()   # failures raise — loud by design
     else:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -146,6 +146,7 @@ def main(argv=None):
     honor_jax_platforms_env()
     if argv is None:
         argv = sys.argv[1:]
+    use_pdb = '--pdb' in argv
     _, files, overrides = parse_argv(argv)
     checkpoint = overrides.pop('checkpoint', None)
     out = overrides.pop('out', None)
@@ -153,8 +154,17 @@ def main(argv=None):
     limit = overrides.pop('limit', None)
     config = build_config(files, overrides)
     eg = from_config(config['eg'])
-    return evaluate(eg, checkpoint=checkpoint, out=out, beamform=beamform,
-                    limit=limit)
+    try:
+        return evaluate(eg, checkpoint=checkpoint, out=out,
+                        beamform=beamform, limit=limit)
+    except Exception:
+        if not use_pdb:
+            raise
+        import pdb
+        import traceback
+        traceback.print_exc()
+        pdb.post_mortem()
+        raise
 
 
 if __name__ == '__main__':

@@ -8,7 +8,7 @@ TS-VAD/TS-SEP model incrementally with bounded latency:
   are available -> algorithmic latency = (chunk + lookahead) frames;
 - the **forward (causal) LSTM directions are exact**: their ``(h, c)``
   carries are committed at each chunk boundary and continue across blocks
-  (``nn.rnnp.blstm_apply_stateful`` scan path);
+  (``_blstm_streaming`` below, on the ``nn.rnnp._lstm_scan`` primitive);
 - the **reverse (anti-causal) directions** are re-run per block over
   ``chunk + lookahead`` with zero initial state — the only approximation,
   bounded by the lookahead window (with lookahead >= remaining utterance

@@ -169,6 +169,9 @@ def _wpe_jax_impl(yr, yi, taps, delay, iterations, eps):
     return xr, xi
 
 
+_wpe_jax_jit = None
+
+
 def wpe_jax(y, taps=10, delay=2, iterations=3, eps=1e-10):
     """On-device WPE (XLA: einsums + batched real-block solves).
 
@@ -182,7 +185,12 @@ def wpe_jax(y, taps=10, delay=2, iterations=3, eps=1e-10):
     import jax
     import jax.numpy as jnp
 
-    fn = jax.jit(_wpe_jax_impl, static_argnums=(2, 3, 4, 5))
+    global _wpe_jax_jit
+    if _wpe_jax_jit is None:
+        # module-level jit wrapper: the dispatch cache must outlive the
+        # call (a per-call jax.jit would re-trace/compile every recording)
+        _wpe_jax_jit = jax.jit(_wpe_jax_impl, static_argnums=(2, 3, 4, 5))
+    fn = _wpe_jax_jit
     if isinstance(y, tuple):
         yr, yi = y
         return fn(yr, yi, taps, delay, iterations, eps)

@@ -142,6 +142,8 @@ class KaldiMFCC:
         assert self.snip_edges, 'only snip_edges=True is implemented'
         assert self.dither == 0.0, 'dither is host-side RNG; unsupported'
         assert self.vtln_warp == 1.0, 'VTLN warping is not implemented'
+        assert not self.htk_compat, \
+            'htk_compat reorders/scales the energy coefficient; unsupported'
         self.window_size = int(self.sample_frequency * self.frame_length
                                / 1000)
         self.window_shift = int(self.sample_frequency * self.frame_shift

@@ -252,81 +252,3 @@ class RNNP:
             n += scale * (4 * self.cdim * (inputdim + self.cdim) + 8 * self.cdim)
             n += self.hdim * (scale * self.cdim) + self.hdim
         return n
-
-
-# ---------------------------------------------------------------------------
-# Streaming (stateful) application — serving / low-latency inference
-# ---------------------------------------------------------------------------
-
-def blstm_apply_stateful(params, x, *, hidden_size: int, fwd_state=None):
-    """One BLSTM layer with forward-direction state passing.
-
-    Streaming block processing: the forward (causal) direction carries its
-    ``(h, c)`` across calls — EXACT continuation of the recurrence; the
-    reverse (anti-causal) direction is re-initialized to zero each block,
-    so its outputs are exact only w.r.t. the data inside the block (give
-    the block lookahead frames to bound the approximation).
-
-    x: (B, T, I).  Returns ``(out (B, T, 2H), new_fwd_state)``.
-    Scan backend only (the Pallas kernel is a throughput design; streaming
-    blocks are small and latency-bound).
-    """
-    B, T, _ = x.shape
-    H = hidden_size
-
-    def xg_of(suffix):
-        w_ih = params['weight_ih_l0' + suffix].astype(x.dtype)
-        b = (params['bias_ih_l0' + suffix]
-             + params['bias_hh_l0' + suffix]).astype(x.dtype)
-        return jnp.swapaxes(x @ w_ih.T + b, 0, 1)       # (T, B, 4H)
-
-    if fwd_state is None:
-        fwd_state = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
-    ys_f, new_state = _lstm_scan(
-        xg_of(''), params['weight_hh_l0'], fwd_state[0], fwd_state[1],
-        reverse=False, return_state=True)
-    zero = jnp.zeros((B, H), x.dtype)
-    ys_r = _lstm_scan(xg_of('_reverse'), params['weight_hh_l0_reverse'],
-                      zero, zero, reverse=True)
-    out = jnp.concatenate([ys_f, ys_r], axis=-1)
-    return jnp.swapaxes(out, 0, 1), new_state
-
-
-def rnnp_apply_stateful(block: 'RNNP', params, x, states=None):
-    """Apply an RNNP stack statefully (see ``blstm_apply_stateful``).
-
-    ``states``: list of per-layer forward states (or None).  Rank-2/3/4
-    input handling as in :meth:`RNNP.apply` (no dropout — inference).
-    Returns ``(out, new_states)``.
-    """
-    rank = x.ndim
-    lead = x.shape[:-2]
-    if rank == 2:
-        h = x[None]
-    elif rank == 3:
-        h = x
-    elif rank == 4:
-        h = x.reshape((-1,) + x.shape[2:])
-    else:
-        raise ValueError(x.shape)
-
-    if states is None:
-        states = [None] * block.elayers
-    new_states = []
-    for i in range(block.elayers):
-        if not block.bidirectional:
-            raise NotImplementedError('streaming path expects blstm')
-        h, st = blstm_apply_stateful(params[f'lstm{i}'], h,
-                                     hidden_size=block.cdim,
-                                     fwd_state=states[i])
-        new_states.append(st)
-        p = params[f'proj{i}']
-        h = h @ p['weight'].T.astype(h.dtype) + p['bias'].astype(h.dtype)
-        if i < block.elayers - 1:
-            h = jnp.tanh(h)
-
-    if rank == 2:
-        return h[0], new_states
-    if rank == 4:
-        return h.reshape(lead + h.shape[1:]), new_states
-    return h, new_states

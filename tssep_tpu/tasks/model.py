@@ -312,11 +312,11 @@ class Model(Configurable):
 
     def prepare_validate_dataset(self, device=None, batch_size=None,
                                  prefetch=True, reader=None, sort=False,
-                                 host_shard=False):
+                                 host_shard=False, drop_last=False):
         return self.prepare_dataset(
             self.reader.validate_dataset_name, device=device, training=False,
             batch_size=batch_size, prefetch=prefetch, reader=reader,
-            sort=sort, host_shard=host_shard)
+            sort=sort, host_shard=host_shard, drop_last=drop_last)
 
     def prepare_eval_dataset(self, device=None, batch_size=None, prefetch=True,
                              reader=None, sort=False, load_keys=None):

@@ -91,7 +91,10 @@ class _AsyncWriter:
             item = self._q.get()
             try:
                 if item is not None:
-                    _write_payload(*item)
+                    path, payload, best, after = item
+                    _write_payload(path, payload, best)
+                    if after is not None:
+                        after()
             except Exception as e:  # noqa: BLE001 - surfaced by wait()
                 self._err = e
             finally:
@@ -139,15 +142,24 @@ def _write_payload(path: Path, payload: dict, best: bool):
 
 
 def save_checkpoint(ckpt_dir, iteration, params, opt_state=None, meta=None,
-                    best=False, async_write=False):
+                    best=False, async_write=False, write=True,
+                    after_write=None):
+    """``write=False`` runs the (collective) host-gather of every leaf but
+    skips the disk IO — multi-host callers pass
+    ``write=(process_index()==0)`` so ALL processes participate in the
+    gather while one writes.  ``after_write`` runs after the file and
+    symlinks are on disk (in the worker thread when ``async_write``) —
+    e.g. a retention-pruning callback."""
     ckpt_dir = Path(ckpt_dir)
-    ckpt_dir.mkdir(parents=True, exist_ok=True)
     payload = {}
     for name, arr in params_to_named(params).items():
         payload[f'model/{name}'] = arr
     if opt_state is not None:
         for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
             payload[f'opt/{i:05d}'] = _to_host(leaf)
+    if not write:
+        return None
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
     meta = dict(meta or {})
     meta['iteration'] = int(iteration)
     payload['__meta__'] = np.frombuffer(
@@ -155,7 +167,7 @@ def save_checkpoint(ckpt_dir, iteration, params, opt_state=None, meta=None,
 
     path = ckpt_dir / f'ckpt_{iteration}.npz'
     if async_write:
-        _async_writer().submit(path, payload, best)
+        _async_writer().submit(path, payload, best, after_write)
     else:
         _write_payload(path, payload, best)
     return path

@@ -105,7 +105,7 @@ class Experiment(Configurable):
             prefetch=False, sort=True, batch_size=max(1, dp), device=device)
         test_run_validation_ds = trainer.model.prepare_validate_dataset(
             prefetch=False, sort=True, batch_size=self.validation_batchsize,
-            device=device)
+            device=device, drop_last=dp > 1)
         self.add_log_files(
             test_run_train_dataset=repr(test_run_train_ds),
             test_run_validation_dataset=repr(test_run_validation_ds),
@@ -129,9 +129,12 @@ class Experiment(Configurable):
             assert validation_bs % n_proc == 0, (validation_bs, n_proc)
             train_bs //= n_proc
             validation_bs //= n_proc
+        # drop_last under a mesh: a partial tail batch would violate the
+        # data-axis divisibility in _place_batch (and desynchronize hosts'
+        # batch counts over a finite validation set multi-host).
         validation_ds = trainer.model.prepare_validate_dataset(
             prefetch=True, batch_size=validation_bs, device=device,
-            host_shard=host_shard)
+            host_shard=host_shard, drop_last=dp > 1 or host_shard)
         train_ds = trainer.model.prepare_train_dataset(
             prefetch=True, batch_size=train_bs, device=device,
             host_shard=host_shard, drop_last=dp > 1)

@@ -27,11 +27,16 @@ from tssep_tpu.train.experiment import Experiment
 __all__ = ['main', 'build_config', 'init', 'train']
 
 
+#: '--' flags the CLIs understand; anything else is rejected loudly.
+KNOWN_FLAGS = {'pdb'}
+
+
 def parse_argv(argv):
-    """Returns (command, config_files, overrides[, flags via '--...'])."""
+    """Returns (command, config_files, overrides).  '--<flag>' tokens are
+    validated against KNOWN_FLAGS (callers re-scan argv for the ones they
+    honor, e.g. ``--pdb`` in :func:`main`)."""
     command = 'train'
     rest = list(argv)
-    flags = set()
     if rest and rest[0] in ('init', 'train', 'makefile', 'print_config'):
         command = rest.pop(0)
     if rest and rest[0] == 'with':
@@ -39,7 +44,10 @@ def parse_argv(argv):
     files, overrides = [], {}
     for token in rest:
         if token.startswith('--'):
-            flags.add(token[2:])      # handled by main() (e.g. --pdb)
+            if token[2:] not in KNOWN_FLAGS:
+                raise ValueError(
+                    f'Unknown flag {token!r} (known: '
+                    f'{sorted("--" + f for f in KNOWN_FLAGS)})')
         elif '=' in token and not token.endswith(('.yaml', '.yml')):
             key, _, value = token.partition('=')
             overrides[key] = yaml.safe_load(value)

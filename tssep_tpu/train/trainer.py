@@ -455,14 +455,20 @@ class Trainer(Configurable):
 
     # ------------------------------------------------------------------
     def save(self, best=False):
-        if jax.process_count() > 1 and jax.process_index() != 0:
-            return None  # leaves are gathered by params_to_named on host 0
+        # Multi-host: EVERY process must run the host-gather (the
+        # process_allgather inside params_to_named is a collective — an
+        # early return on non-zero hosts would deadlock host 0); only
+        # process 0 touches the disk (write=False skips IO after the
+        # gather).
         path = ckpt_lib.save_checkpoint(
             self.checkpoint_dir, self.iteration, self.params,
             opt_state=self.opt_state,
             meta={'best_validation_loss': self.best_validation_loss},
-            best=best, async_write=self.async_checkpoints)
-        self._prune_checkpoints()
+            best=best, async_write=self.async_checkpoints,
+            write=jax.process_index() == 0,
+            after_write=self._prune_checkpoints)
+        if not self.async_checkpoints and jax.process_index() == 0:
+            self._prune_checkpoints()
         return path
 
     def load(self, path):
@@ -522,6 +528,7 @@ class Trainer(Configurable):
                         f'{ds_name}_{self.model.loss.name}', lv)
             pending = []
 
+        last_saved = self.iteration if self.iteration else -1
         while self.iteration < self.stop_trigger:
             for k in range(vmb):
                 ex = next(data)
@@ -567,14 +574,16 @@ class Trainer(Configurable):
                         self.best_validation_loss = val_loss
                         best = True
                 self.save(best=best)
+                last_saved = self.iteration
 
         drain_pending()
         ckpt_lib.wait_for_pending()
-        # Final checkpoint if the loop ended off-trigger
-        if not (self.checkpoint_dir / f'ckpt_{self.iteration}.npz').exists():
+        # Final checkpoint if the loop ended off-trigger.  The decision is
+        # iteration bookkeeping, NOT a file-exists check: it must be the
+        # same on every host (save() enters a collective gather).
+        if last_saved != self.iteration:
             self.save()
             ckpt_lib.wait_for_pending()
-        self._prune_checkpoints()
         return self.iteration
 
 
