@@ -1,0 +1,24 @@
+#!/bin/bash
+# Poll for the axon relay; when it answers, run the on-chip kernel checks
+# and the bench grid. Results land in /tmp/tpu_return_results.txt.
+cd "$(dirname "$0")/.."
+OUT=/tmp/tpu_return_results.txt
+for i in $(seq 1 1000); do
+  if timeout 5 bash -c "echo > /dev/tcp/127.0.0.1/8083" 2>/dev/null; then
+    echo "tunnel up at $(date)" | tee "$OUT"
+    # quick real probe: can jax actually run?
+    if timeout 300 python -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones(4))))" >>"$OUT" 2>&1; then
+      echo "=== check_bidi" >> "$OUT"
+      timeout 1200 python tools/check_bidi.py >> "$OUT" 2>&1
+      echo "=== bench grid" >> "$OUT"
+      timeout 5400 bash tools/bench_configs.sh >> "$OUT" 2>&1
+      echo "=== done $(date)" >> "$OUT"
+      exit 0
+    else
+      echo "port open but jax probe failed; keep waiting" >> "$OUT"
+    fi
+  fi
+  sleep 60
+done
+echo "gave up waiting for tunnel" > "$OUT"
+exit 1
