@@ -289,3 +289,16 @@ def test_cli_unknown_flag_rejected():
     from tssep_tpu.train.run import parse_argv
     with pytest.raises(ValueError, match='Unknown flag'):
         parse_argv(['train', 'with', 'cfg.yaml', '--pdp'])
+
+
+def test_checkpoint_write_false_skips_io(tmp_path):
+    """write=False runs the host-gather but leaves no files (the multi-host
+    non-zero-process path; all processes must reach the collective)."""
+    import jax.numpy as jnp
+    from tssep_tpu.train.checkpoint import save_checkpoint
+    params = {'w': jnp.ones((3, 3))}
+    out = save_checkpoint(tmp_path / 'ck', 5, params, write=False)
+    assert out is None
+    assert not (tmp_path / 'ck').exists()
+    path = save_checkpoint(tmp_path / 'ck', 5, params, write=True)
+    assert path.exists()
