@@ -135,10 +135,15 @@ def test_host_shard_dataset():
     from tssep_tpu.data.pipeline import new
     from tssep_tpu.dist.multihost import host_shard_dataset
     ds = new(list(range(10)))
+    # default equalize=True: every host gets floor(10/3)=3 (tail dropped)
     shards = [list(host_shard_dataset(ds, 3, i)) for i in range(3)]
-    assert shards[0] == [0, 3, 6, 9]
+    assert shards[0] == [0, 3, 6]
     assert shards[1] == [1, 4, 7]
     assert shards[2] == [2, 5, 8]
+    # equalize=False keeps the ragged round-robin share
+    shards = [list(host_shard_dataset(ds, 3, i, equalize=False))
+              for i in range(3)]
+    assert shards[0] == [0, 3, 6, 9]
     assert sum(len(s) for s in shards) == 10
 
 
@@ -173,3 +178,22 @@ def test_calibration_stats_additive():
     th2, d2 = calibrate_threshold(acts, refs, smooth_kernel=1,
                                   cross_host=False)
     assert (th1, d1) == (th2, d2)
+
+
+def test_host_shard_equalizes_batch_counts():
+    """Every host gets floor(N/n) examples so per-host BATCH counts match
+    (one collective per batch on pods — a ragged share would deadlock)."""
+    from tssep_tpu.data import pipeline
+    from tssep_tpu.dist.multihost import host_shard_dataset
+    ds = pipeline.new(list(range(15)))
+    shares = [list(host_shard_dataset(ds, n_processes=2, index=i))
+              for i in range(2)]
+    assert [len(s) for s in shares] == [7, 7]       # 15 -> 7 each, 1 dropped
+    assert shares[0] == [0, 2, 4, 6, 8, 10, 12]
+    assert shares[1] == [1, 3, 5, 7, 9, 11, 13]
+    # batch counts equal under drop_last batching
+    counts = [len(list(host_shard_dataset(ds, 2, i).batch(4, drop_last=True)))
+              for i in range(2)]
+    assert counts == [1, 1]
+    # opt-out keeps the full round-robin share
+    assert len(list(host_shard_dataset(ds, 2, 0, equalize=False))) == 8

@@ -6,13 +6,6 @@ through the Pallas interpreter, so the kernel bodies — grid walking,
 scratch carries, custom VJPs — are validated in CI against the scan path.
 """
 
-import os
-
-os.environ['TSSEP_PALLAS_INTERPRET'] = '1'
-os.environ.setdefault('TSSEP_PALLAS_BATCH_BLOCK', '8')
-os.environ.setdefault('TSSEP_PALLAS_BIDI_BATCH_BLOCK', '8')
-os.environ.setdefault('TSSEP_PALLAS_TIME_BLOCK', '4')
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,9 +17,20 @@ from tssep_tpu.nn.init import torch_lstm_init
 
 @pytest.fixture(scope='module')
 def kb():
+    """The kernels module with interpret mode + tiny blocking, restored on
+    teardown (module GLOBALS are patched, not the env: the constants are
+    read at import time, so env mutation would be order-dependent across
+    the test session and leak into other tests)."""
     from tssep_tpu.kernels import blstm
-    assert blstm.INTERPRET
-    return blstm
+    saved = (blstm.INTERPRET, blstm.BATCH_BLOCK, blstm.BIDI_BATCH_BLOCK,
+             blstm.TIME_BLOCK)
+    blstm.INTERPRET = True
+    blstm.BATCH_BLOCK = 8
+    blstm.BIDI_BATCH_BLOCK = 8
+    blstm.TIME_BLOCK = 4
+    yield blstm
+    (blstm.INTERPRET, blstm.BATCH_BLOCK, blstm.BIDI_BATCH_BLOCK,
+     blstm.TIME_BLOCK) = saved
 
 
 @pytest.fixture(scope='module')

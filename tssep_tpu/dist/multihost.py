@@ -93,8 +93,16 @@ def global_batch_from_local(local_batch: dict, mesh):
     return jax.tree_util.tree_map(assemble, local_batch, shardings)
 
 
-def host_shard_dataset(ds, n_processes=None, index=None):
-    """Deal examples round-robin to processes (deterministic order)."""
+def host_shard_dataset(ds, n_processes=None, index=None, equalize=True):
+    """Deal examples round-robin to processes (deterministic order).
+
+    ``equalize`` truncates every host's share to ``floor(N / n)`` examples
+    (the ragged tail is dropped on all hosts).  This is load-bearing for
+    finite datasets: the sharded training/validation loops run one
+    collective per batch, so hosts MUST see identical batch counts — a
+    host with one extra example would issue a collective the others never
+    join (deadlock).
+    """
     if n_processes is None:
         n_processes = process_count()
     if index is None:
@@ -109,16 +117,29 @@ def host_shard_dataset(ds, n_processes=None, index=None):
             self.inner = inner
 
         def __iter__(self):
+            limit = None
+            if equalize:
+                try:
+                    limit = len(self.inner) // n_processes
+                except TypeError:
+                    limit = None          # unsized stream: no tail to trim
+            n_yielded = 0
             for i, ex in enumerate(self.inner):
                 if i % n_processes == index:
+                    if limit is not None and n_yielded >= limit:
+                        break
+                    n_yielded += 1
                     yield ex
 
         def __len__(self):
             n = len(self.inner)
+            if equalize:
+                return n // n_processes
             return n // n_processes + (1 if n % n_processes > index else 0)
 
         def __repr__(self):
-            return (f'HostShardDataset({index}/{n_processes})\n'
+            return (f'HostShardDataset({index}/{n_processes}, '
+                    f'equalize={equalize})\n'
                     f'  {self.inner!r}')
 
     return _Sharded(ds)

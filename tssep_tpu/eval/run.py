@@ -4,7 +4,8 @@ The reference's eval driver lives in its companion repo (tssep_data); this
 is the native equivalent::
 
     python -m tssep_tpu.eval.run with <storage_dir>/config.yaml \
-        [checkpoint=...] [out=...] [beamform=true|false]
+        [checkpoint=...] [out=...] [beamform=true|false] \
+        [transcriber=pkg.module.MyASR] [limit=N] [--pdb]
 
 Loads the experiment config + checkpoint (best by default), runs the
 long-recording eval driver over the eval dataset (chunked jit inference,
@@ -23,7 +24,7 @@ import numpy as np
 from tssep_tpu.config.configurable import from_config
 from tssep_tpu.eval.driver import EvalDriver, save_wavs
 from tssep_tpu.eval.metrics import si_sdr
-from tssep_tpu.train.run import build_config, parse_argv
+from tssep_tpu.train.run import build_config, parse_argv, run_with_pdb
 
 __all__ = ['evaluate', 'main']
 
@@ -147,24 +148,27 @@ def main(argv=None):
     if argv is None:
         argv = sys.argv[1:]
     use_pdb = '--pdb' in argv
-    _, files, overrides = parse_argv(argv)
-    checkpoint = overrides.pop('checkpoint', None)
-    out = overrides.pop('out', None)
-    beamform = overrides.pop('beamform', None)
-    limit = overrides.pop('limit', None)
-    config = build_config(files, overrides)
-    eg = from_config(config['eg'])
-    try:
+
+    def dispatch():
+        _, files, overrides = parse_argv(argv)
+        checkpoint = overrides.pop('checkpoint', None)
+        out = overrides.pop('out', None)
+        beamform = overrides.pop('beamform', None)
+        limit = overrides.pop('limit', None)
+        transcriber = overrides.pop('transcriber', None)
+        if isinstance(transcriber, str):
+            # dotted path to a Transcriber instance, class, or factory
+            mod, _, attr = transcriber.rpartition('.')
+            import importlib
+            obj = getattr(importlib.import_module(mod), attr)
+            transcriber = obj() if isinstance(obj, type) else obj
+        config = build_config(files, overrides)
+        eg = from_config(config['eg'])
         return evaluate(eg, checkpoint=checkpoint, out=out,
-                        beamform=beamform, limit=limit)
-    except Exception:
-        if not use_pdb:
-            raise
-        import pdb
-        import traceback
-        traceback.print_exc()
-        pdb.post_mortem()
-        raise
+                        beamform=beamform, limit=limit,
+                        transcriber=transcriber)
+
+    return run_with_pdb(dispatch, use_pdb)
 
 
 if __name__ == '__main__':

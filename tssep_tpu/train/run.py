@@ -125,6 +125,21 @@ makefile:
 ''')
 
 
+def run_with_pdb(fn, use_pdb):
+    """sacred's ``--pdb`` equivalent: run ``fn()``; on failure drop into
+    the post-mortem debugger (shared by the train and eval CLIs)."""
+    try:
+        return fn()
+    except Exception:
+        if not use_pdb:
+            raise
+        import pdb
+        import traceback
+        traceback.print_exc()
+        pdb.post_mortem()
+        raise
+
+
 def host_info():
     """Environment snapshot for the storage dir (sacred host-info
     equivalent, reference ``run.py:59-68``: CUDA/SLURM/OMP env there;
@@ -194,9 +209,10 @@ def main(argv=None):
     if argv is None:
         argv = sys.argv[1:]
     use_pdb = '--pdb' in argv
-    command, files, overrides = parse_argv(argv)
-    config = build_config(files, overrides)
-    try:
+
+    def dispatch():
+        command, files, overrides = parse_argv(argv)
+        config = build_config(files, overrides)
         if command == 'print_config':
             print(dumps_yaml(config))
         elif command == 'init':
@@ -207,16 +223,8 @@ def main(argv=None):
             train(config)
         else:
             raise ValueError(command)
-    except Exception:
-        if not use_pdb:
-            raise
-        # sacred's --pdb equivalent (reference run.py CLI surface):
-        # drop into the post-mortem debugger at the failure point.
-        import pdb
-        import traceback
-        traceback.print_exc()
-        pdb.post_mortem()
-        raise
+
+    run_with_pdb(dispatch, use_pdb)
 
 
 if __name__ == '__main__':

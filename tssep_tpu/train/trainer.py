@@ -103,6 +103,17 @@ class _ShardMapCaller:
         return fn_c(*args)
 
 
+def _host_fetch(x):
+    """Device value -> numpy, multi-host-safe: a data-sharded array spans
+    non-addressable devices on a pod, where plain np.asarray raises; the
+    process_allgather is a collective, safe here because every host runs
+    the same trigger-synchronized logging code."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x))
+    return np.asarray(x)
+
+
 def _array_part(ex):
     """Split an example dict into (jit-able arrays, host-only meta)."""
     arrays, meta = {}, {}
@@ -386,7 +397,7 @@ class Trainer(Configurable):
                 # overlay) for the first validation batch.
                 self._add_snapshots(arrays, summary, sub)
             loss_sum, aux = self._eval_fn(self.params, arrays, sub)
-            per_example = np.atleast_1d(np.asarray(aux['per_example_loss']))
+            per_example = np.atleast_1d(_host_fetch(aux['per_example_loss']))
             losses.extend(per_example.tolist())
             datasets = meta.get('dataset', ['validate'] * len(per_example))
             if isinstance(datasets, str):
@@ -396,8 +407,13 @@ class Trainer(Configurable):
                 summary.add_histogram(
                     f'hist_{ds_name}_{self.model.loss.name}', lv)
             summary.add_to_loss(float(loss_sum))
-        mean_loss = float(np.mean(losses)) if losses else math.inf
-        return mean_loss, summary
+        if not losses:
+            raise RuntimeError(
+                'Validation dataset yielded no batches — with drop_last '
+                'under a mesh this happens when the validation set is '
+                'smaller than the (per-host) validation batch size; '
+                'shrink validation_batchsize or grow the validation set.')
+        return float(np.mean(losses)), summary
 
     # ------------------------------------------------------------------
     def test_run(self, train_ds, validation_ds, deterministic_atol=1e-5,
@@ -516,14 +532,14 @@ class Trainer(Configurable):
         def drain_pending():
             nonlocal pending
             for step_loss, per, datasets in pending:
+                per = _host_fetch(per)
                 step_loss = float(step_loss)
                 if not np.isfinite(step_loss):
                     raise RuntimeError(
                         f'Non-finite loss {step_loss} near iteration '
                         f'{self.iteration}')
                 summary.add_to_loss(step_loss)
-                for ds_name, lv in zip(datasets,
-                                       np.atleast_1d(np.asarray(per))):
+                for ds_name, lv in zip(datasets, np.atleast_1d(per)):
                     summary.add_scalar(
                         f'{ds_name}_{self.model.loss.name}', lv)
             pending = []
