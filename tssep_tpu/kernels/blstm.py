@@ -1,23 +1,32 @@
-"""Pallas fused LSTM cell (TPU).
+"""Pallas fused LSTM kernels (TPU).
 
 The scan-based recurrence (``tssep_tpu/nn/rnnp.py``) launches one XLA fusion
 per unrolled block and round-trips carries through HBM at loop boundaries.
-This kernel keeps the hidden/cell state *and* the recurrent weights resident
-in VMEM for the whole sequence, fusing the per-step hidden matmul (MXU) with
-the gate nonlinearities (VPU):
+These kernels keep the hidden/cell state *and* the recurrent weights
+resident in VMEM for the whole sequence, fusing the per-step hidden matmul
+(MXU) with the gate nonlinearities (VPU).  Four escalating variants:
 
-- grid = (T,), which the TPU executes sequentially; ``h``/``c`` live in VMEM
-  scratch persisting across grid steps;
-- the input projections ``xg = x @ W_ih^T + b`` stay outside (one large MXU
-  matmul, already optimal through XLA);
-- Pallas streams the per-step ``xg`` block in and ``h``/``c`` out with
-  automatic double buffering;
-- backward is a second kernel walking the grid in reverse, recomputing the
-  gates from the saved state sequences and accumulating ``dW_hh`` in VMEM —
-  wired up via ``jax.custom_vjp``;
-- the reversed direction of a BLSTM is realized by time-flipping the inputs/
-  outputs outside the kernel (cheap XLA ops, differentiable), so only the
-  forward-order kernels exist.
+1. ``lstm_fused`` / ``blstm_apply_fused``: single-direction cell over a
+   (batch-block, time-block) grid; carries in VMEM scratch; the input
+   projections ``xg = x @ W_ih^T + b`` stay outside (one large MXU matmul);
+   backward is a reverse-walking kernel recomputing gates from the saved
+   state sequences and accumulating ``dW_hh`` in VMEM (``jax.custom_vjp``).
+2. ``blstm_apply_fused_bidi`` (``TSSEP_PALLAS_BIDI``, default): BOTH
+   directions interleaved in one kernel — two independent dependency
+   chains per step halve the sequential pallas calls and hide each
+   other's MXU/VPU latency (chip-verified, +3% end-to-end).
+3. ``blstm_layer_fused`` (``TSSEP_PALLAS_LAYER_VJP``): layer-level custom
+   VJP whose backward recomputes only the input projections instead of
+   remat's full forward recurrence re-run.
+4. ``blstm_layer_fullfused`` (``TSSEP_PALLAS_FULLFUSE``): the input
+   projections run INSIDE the kernel — no xg tensors in HBM at all;
+   streams the raw x blocks (~5x less per grid step), so larger batch
+   blocks fit VMEM; backward accumulates ``dW_ih``/bias grads in scratch.
+
+Reversed directions are realized by time-flipping inputs/outputs outside
+the kernel (cheap XLA ops, differentiable), so only forward-order kernels
+exist.  All variants are validated against the scan path by the
+interpreter tests (``tests/test_kernels.py``; ``TSSEP_PALLAS_INTERPRET``).
 
 Gate order i, f, g, o (torch layout), matching the rest of the framework.
 """
