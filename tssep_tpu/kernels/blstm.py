@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['lstm_fused', 'blstm_apply_fused']
+__all__ = ['lstm_fused', 'blstm_apply_fused', 'blstm_apply_fused_bidi',
+           'blstm_layer_fused', 'blstm_layer_fullfused']
 
 
 # ---------------------------------------------------------------------------
