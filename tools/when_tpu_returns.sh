@@ -2,7 +2,7 @@
 # Poll for the axon relay; when it answers, run the on-chip kernel checks
 # and the bench grid. Results land in /tmp/tpu_return_results.txt.
 cd "$(dirname "$0")/.."
-OUT=/tmp/tpu_return_results.txt
+OUT=/root/repo/TPU_RETURN_RESULTS.txt
 for i in $(seq 1 1000); do
   if timeout 5 bash -c "echo > /dev/tcp/127.0.0.1/8083" 2>/dev/null; then
     echo "tunnel up at $(date)" | tee "$OUT"
