@@ -1,10 +1,25 @@
-"""Benchmark: flagship TS-SEP training throughput on one chip.
+"""Benchmark: flagship TS-SEP training throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Metric: audio-seconds processed per second per chip for the full training
 step (STFT -> features -> 8-speaker BLSTM mask estimator (ts_vad stacking)
 -> masking -> ISTFT -> LogMAE -> backward -> Adam update) on 5 s clips.
+
+Every timed step consumes a FRESH batch from the on-device meeting
+simulator (``data.device_sim``) — the input pipeline is part of the
+measurement, nothing is cached across steps, and the relay's
+identical-execution dedup cannot flatter the numbers.  ``--tiled``
+restores the old fixed-batch measurement for comparison.
+
+Scaling mode (the 1-chip / N-chip table of the north star)::
+
+    python bench.py --mesh data=N           # audio-s/s, /chip, efficiency
+    python bench.py --mesh data=8 --dryrun-cpu   # harness check, no TPUs
+
+``--mesh`` shards the batch over the 'data' axis of a device mesh and
+reports total and per-chip throughput plus scaling efficiency vs a 1-chip
+run measured in the same invocation.
 
 ``vs_baseline``: the reference repo publishes no throughput numbers
 (BASELINE.md); we report the ratio against the measured torch-CPU reference
@@ -13,6 +28,7 @@ step (STFT -> features -> 8-speaker BLSTM mask estimator (ts_vad stacking)
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
@@ -27,17 +43,44 @@ os.environ.setdefault('TSSEP_COMPUTE_DTYPE', 'bfloat16')
 os.environ.setdefault('TSSEP_PALLAS_TIME_BLOCK', '4')
 os.environ.setdefault('TSSEP_DFT_PRECISION', 'default')
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+CLIP_SECONDS = 5
 
 
-def main():
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split('\n')[0])
+    p.add_argument('--batch', type=int,
+                   default=int(os.environ.get('BENCH_BATCH', '256')),
+                   help='global batch size')
+    p.add_argument('--steps', type=int,
+                   default=int(os.environ.get('BENCH_STEPS', '20')))
+    p.add_argument('--mesh', default=None,
+                   help="e.g. 'data=4': scaling mode over a device mesh")
+    p.add_argument('--dryrun-cpu', action='store_true',
+                   help='force N virtual CPU devices (harness validation '
+                        'without TPU hardware)')
+    p.add_argument('--tiled', action='store_true',
+                   help='old fixed-batch measurement (one batch reused '
+                        'every step) instead of fresh on-device batches')
+    return p.parse_args(argv)
+
+
+def _parse_mesh(spec):
+    axes = {}
+    for part in spec.split(','):
+        name, _, n = part.partition('=')
+        axes[name.strip()] = int(n)
+    assert 'data' in axes and set(axes) <= {'data'}, (
+        f'bench --mesh supports data=N, got {spec!r}')
+    return axes
+
+
+def build(batch):
+    """Model, params, optimizer, jitted step + on-device batch source."""
+    import jax
+
+    from tssep_tpu.data.device_sim import DeviceMeetingSimulator
     from tssep_tpu.tasks.model import Model
     from tssep_tpu.train.optimizer import Adam
-
-    clip_seconds = 5
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
 
     model = Model.new({
         'fe': {'size': 1024, 'shift': 256, 'window': 'hann'},
@@ -52,15 +95,13 @@ def main():
     tx = Adam(gradient_clipping=10, lr=1e-3).make()
     opt_state = jax.jit(tx.init)(params)
 
-    ds = model.prepare_validate_dataset(prefetch=False, batch_size=4)
-    ex = next(iter(ds))
-    arrays = {k: v for k, v in ex.items()
-              if hasattr(v, 'shape') or k == 'reference_channel'}
-    # tile to the bench batch size
-    reps = -(-batch // 4)
-    for k, v in arrays.items():
-        if hasattr(v, 'shape') and v.ndim >= 1:
-            arrays[k] = jnp.concatenate([v] * reps, axis=0)[:batch]
+    sim = DeviceMeetingSimulator(duration=CLIP_SECONDS)
+    targets = set(model.loss.device_targets()) | {'Vad'}
+
+    def make_batch(key):
+        ex = sim.generate(key, batch)
+        keep = {'observation', 'auxInput', 'reference_channel'} | targets
+        return {k: v for k, v in ex.items() if k in keep}
 
     def train_step(params, opt_state, batch_, key):
         (loss, _aux), grads = jax.value_and_grad(
@@ -69,28 +110,134 @@ def main():
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss
 
-    step = jax.jit(train_step, donate_argnums=(0, 1))
+    return model, params, opt_state, train_step, make_batch
 
-    # Warmup / compile.  NOTE: a host transfer (float()) is the only
-    # reliable full sync on relay-style TPU runtimes where
-    # block_until_ready can return before the computation retires.
+
+def measure(params, opt_state, step, gen, n_steps, *, place=None):
+    """Timed loop; fresh batch per step; host transfer = the only true
+    sync on relay-style TPU runtimes (block_until_ready can return
+    early)."""
+    import jax
+
     key = jax.random.PRNGKey(1)
-    params, opt_state, loss = step(params, opt_state, arrays, key)
-    float(loss)
+    bkey = jax.random.PRNGKey(2)
+    batch = gen(bkey)
+    if place is not None:
+        batch = place(batch)
+    params, opt_state, loss = step(params, opt_state, batch, key)
+    float(loss)  # compile + warmup sync
 
-    n_steps = 20
     t0 = time.perf_counter()
     for i in range(n_steps):
+        bkey = jax.random.fold_in(bkey, i)
+        batch = gen(bkey)
+        if place is not None:
+            batch = place(batch)
         key = jax.random.fold_in(key, i)
-        params, opt_state, loss = step(params, opt_state, arrays, key)
+        params, opt_state, loss = step(params, opt_state, batch, key)
     float(loss)  # forces the whole dependent chain
-    elapsed = time.perf_counter() - t0
+    return time.perf_counter() - t0
 
-    audio_seconds = n_steps * batch * clip_seconds
-    value = audio_seconds / elapsed
+
+def run_single(args):
+    import jax
+
+    model, params, opt_state, train_step, make_batch = build(args.batch)
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    if args.tiled:
+        batch0 = jax.jit(make_batch)(jax.random.PRNGKey(2))
+        gen = lambda key: batch0                          # noqa: E731
+    else:
+        gen = jax.jit(make_batch)
+
+    elapsed = measure(params, opt_state, step, gen, args.steps)
+    return args.steps * args.batch * CLIP_SECONDS / elapsed
+
+
+def run_mesh(args, axes):
+    """data-parallel scaling: 1-chip vs N-chip in one invocation."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    n = axes['data']
+    devices = jax.devices()
+    assert len(devices) >= n, (
+        f'--mesh data={n} but only {len(devices)} devices')
+
+    model, params, opt_state, train_step, make_batch = build(args.batch)
+
+    import numpy as np
+
+    def throughput(num_devices, batch):
+        mesh = Mesh(np.array(devices[:num_devices]), ('data',))
+
+        # Each device generates its own batch shard (out_shardings on the
+        # jitted generator): no host transfer, no resharding step.
+        shapes = jax.eval_shape(make_batch, jax.random.PRNGKey(0))
+        out_shardings = jax.tree_util.tree_map(
+            lambda s: NamedSharding(
+                mesh, P('data') if getattr(s, 'ndim', 0) >= 1 else P()),
+            shapes)
+        gen = jax.jit(make_batch, out_shardings=out_shardings)
+
+        rep = NamedSharding(mesh, P())
+        # copy: device_put may alias the originals, and the donated
+        # buffers of the 1-chip run must survive for the N-chip run
+        p = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep).copy(), params)
+        o = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep).copy() if hasattr(x, 'copy')
+            else x, opt_state)
+        step = jax.jit(train_step, donate_argnums=(0, 1))
+
+        elapsed = measure(p, o, step, gen, args.steps)
+        return args.steps * batch * CLIP_SECONDS / elapsed
+
+    one = throughput(1, args.batch)
+    if n == 1:
+        return one, one, 1.0
+    total = throughput(n, args.batch)
+    per_chip = total / n
+    return total, per_chip, per_chip / one
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    if args.dryrun_cpu:
+        n = _parse_mesh(args.mesh)['data'] if args.mesh else 8
+        os.environ['XLA_FLAGS'] = (
+            os.environ.get('XLA_FLAGS', '')
+            + f' --xla_force_host_platform_device_count={max(n, 2)}')
+        os.environ['TSSEP_LSTM_IMPL'] = 'scan'
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+        args.batch = min(args.batch, 8)
+        args.steps = min(args.steps, 3)
 
     vs_baseline = 1.0
     baseline_file = Path(__file__).parent / 'BASELINE_LOCAL.json'
+
+    if args.mesh:
+        axes = _parse_mesh(args.mesh)
+        total, per_chip, eff = run_mesh(args, axes)
+        value = per_chip
+        extra = {
+            'mesh': axes,
+            'total_audio_s_per_s': round(total, 2),
+            'scaling_efficiency': round(eff, 4),
+        }
+        metric = (f'train audio-seconds/s/chip (flagship 8-spk TS-SEP, '
+                  f'5s clips, global batch {args.batch}, '
+                  f'data={axes["data"]})')
+    else:
+        value = run_single(args)
+        extra = {}
+        metric = (f'train audio-seconds/s/chip (flagship 8-spk TS-SEP, '
+                  f'5s clips, batch {args.batch}'
+                  + (', tiled' if args.tiled else ', fresh batches') + ')')
+
     if baseline_file.exists():
         try:
             ref = json.loads(baseline_file.read_text())
@@ -101,10 +248,11 @@ def main():
             pass
 
     print(json.dumps({
-        'metric': f'train audio-seconds/s/chip (flagship 8-spk TS-SEP, 5s clips, batch {batch})',
+        'metric': metric,
         'value': round(value, 2),
         'unit': 'audio-s/s/chip',
         'vs_baseline': round(vs_baseline, 3),
+        **extra,
     }))
 
 

@@ -132,6 +132,31 @@ def test_mesh_model_parallel_end_to_end(tmp_path):
     assert eg2.trainer.iteration == 4
 
 
+def test_tp_mesh_matches_single_device(tmp_path, single_device_run):
+    """data=2 x model=2 == single device: loss trajectory AND final
+    parameters.  Tensor parallelism here is pure SPMD partitioning of the
+    unchanged step function (gate matrices sharded over 'model', XLA
+    inserts the collectives), so it must be numerically equivalent to the
+    single-device trajectory — the same bar the DP tests set.  This is
+    the evidence that TP is a real capability (memory headroom for scaled
+    -up trunks), not speculative plumbing; see dist/mesh.py for why it is
+    still not the recommended *performance* mesh for the flagship size."""
+    ref_params, ref_losses = single_device_run
+    eg = _prepare(tmp_path, 'tsvad_tp_eq', mesh={'data': 2, 'model': 2})
+    eg.train()
+    assert dict(eg.trainer.mesh.shape) == {'data': 2, 'model': 2}
+    got_losses = _train_losses(tmp_path / 'tsvad_tp_eq')
+    assert ref_losses and got_losses.keys() == ref_losses.keys()
+    for step in sorted(ref_losses):
+        np.testing.assert_allclose(
+            got_losses[step], ref_losses[step], rtol=2e-3,
+            err_msg=f'TP loss diverged from single device at step {step}')
+    got = _named(eg.trainer.params)
+    for k, ref in ref_params.items():
+        np.testing.assert_allclose(
+            got[k], ref, rtol=2e-2, atol=3e-3, err_msg=k)
+
+
 def test_mesh_validation_and_metrics(tmp_path):
     """Validation hook + summary writer run under the mesh."""
     eg = _prepare(tmp_path, 'tsvad_val', mesh={'data': 4, 'model': 1}, stop=2)

@@ -153,3 +153,93 @@ def test_fullfused_batch_padding(kb, data):
     ref = _scan_ref(params, x_small, H)
     got = kb.blstm_layer_fullfused(params, x_small)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Conditioned fully-fused layer ((xs * aux) formed in VMEM)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope='module')
+def cond_data():
+    B, S, T, F, H = 3, 4, 23, 12, 16
+    xs = jax.random.normal(jax.random.PRNGKey(3), (B, T, F), jnp.float32)
+    aux = jax.random.normal(jax.random.PRNGKey(4), (B, S, F), jnp.float32)
+    params = torch_lstm_init(jax.random.PRNGKey(5), F, H)
+    params.update({k + '_reverse': v for k, v in
+                   torch_lstm_init(jax.random.PRNGKey(6), F, H).items()})
+    return xs, aux, params, H
+
+
+def _cond_ref(params, xs, aux, H):
+    """Reference: materialize the conditioned tensor, fold, scan."""
+    B, S = aux.shape[0], aux.shape[1]
+    h = xs[:, None, :, :] * aux[:, :, None, :]
+    h = h.reshape((B * S,) + h.shape[2:])
+    out = rnnp._blstm_apply_impl(params, h, H, True)
+    return out.reshape((B, S) + out.shape[1:])
+
+
+def test_fullfused_cond_matches_materialized(kb, cond_data):
+    xs, aux, params, H = cond_data
+    ref = _cond_ref(params, xs, aux, H)
+    got = kb.blstm_layer_fullfused_cond(params, xs, aux)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fullfused_cond_grads_match(kb, cond_data):
+    xs, aux, params, H = cond_data
+
+    def loss_ref(p, xs, aux):
+        return jnp.sum(_cond_ref(p, xs, aux, H) ** 2)
+
+    def loss_ffc(p, xs, aux):
+        return jnp.sum(kb.blstm_layer_fullfused_cond(p, xs, aux) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(params, xs, aux)
+    g_ffc = jax.grad(loss_ffc, argnums=(0, 1, 2))(params, xs, aux)
+    for k in sorted(g_ref[0]):
+        a, b = np.asarray(g_ref[0][k]), np.asarray(g_ffc[0][k])
+        err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+        assert err < 1e-4, (k, err)
+    np.testing.assert_allclose(np.asarray(g_ffc[1]), np.asarray(g_ref[1]),
+                               atol=1e-4)  # d xs
+    np.testing.assert_allclose(np.asarray(g_ffc[2]), np.asarray(g_ref[2]),
+                               atol=1e-4)  # d aux
+
+
+def test_fullfused_cond_batch_padding(kb, cond_data):
+    """Batch not a multiple of the block: padding + slicing correct."""
+    xs, aux, params, H = cond_data
+    ref = _cond_ref(params, xs[:1], aux[:1], H)
+    got = kb.blstm_layer_fullfused_cond(params, xs[:1], aux[:1])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_estimator_cond_fused_matches_default(kb, cond_data, monkeypatch):
+    """The estimator path with CONDFUSE on == the materialized default,
+    including permutation-trial ensembling riding through the fused
+    call (aux expansion == product expansion)."""
+    from tssep_tpu.nn import estimator as est_mod
+    from tssep_tpu.nn import rnnp as rnnp_mod
+    from tssep_tpu.config import from_config, get_config
+
+    B, S, T, F = 2, 4, 23, 12
+    cfg = dict(idim=F, odim=F, units=16, projs=10, combination='mul',
+               ts_vad=S, output_resolution='tf', aux_net_output_size=F,
+               random_speaker_order=False, num_averaged_permutations=2)
+    est = from_config(get_config(
+        'tssep_tpu.nn.estimator.MaskEstimator', cfg))
+    params = est.init(jax.random.PRNGKey(0))
+    xs = np.asarray(jax.random.normal(jax.random.PRNGKey(7), (B, T, F)))
+    aux = np.asarray(jax.random.normal(jax.random.PRNGKey(8), (B, S, F)))
+
+    ref = est.apply(params, xs, aux)
+
+    monkeypatch.setattr(rnnp_mod, 'CONDFUSE', True)
+    monkeypatch.setattr(rnnp_mod, '_FORCED_IMPL', 'pallas')
+    got = est.apply(params, xs, aux)
+    np.testing.assert_allclose(np.asarray(got.mask), np.asarray(ref.mask),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.logit),
+                               np.asarray(ref.logit), atol=2e-4)

@@ -113,3 +113,112 @@ def test_streaming_activity_shape_tsvad(setup):
         assert masks.ndim == 4           # (S, nmask, T, F)
         assert activity.shape == (4, masks.shape[-2])
         assert np.all(activity >= 0) and np.all(activity <= 1)
+
+
+def test_streaming_audio_bit_parity_with_offline(setup):
+    """emit_audio=True: streaming mask-multiply + incremental ISTFT
+    overlap-add equals the offline synthesis of the same masked frames
+    sample-for-sample (covering lookahead -> identical masks, and the
+    OLA tail carry must stitch chunks without seams)."""
+    from tssep_tpu.eval.streaming import StreamingSession
+    from tssep_tpu.signal.stft import STFT
+    model, params, samples, aux = setup
+    sess = StreamingSession(model, params, aux, chunk_frames=16,
+                            lookahead_frames=1000, emit_audio=True)
+    chunks = []
+    for i in range(0, len(samples), 1500):
+        chunks.extend(sess.process(samples[i:i + 1500]))
+    chunks.extend(sess.flush())
+    streamed_masks = np.concatenate([m for m, _, _ in chunks], axis=-2)
+    streamed_audio = np.concatenate([a for _, _, a in chunks], axis=-1)
+
+    # offline reference on the same causal frame matrix
+    ref_sess = StreamingSession(model, params, aux, chunk_frames=10 ** 6)
+    ref_sess._sample_buf = np.concatenate([ref_sess._sample_buf, samples])
+    ref_sess._stft_more()
+    frames = ref_sess._frame_buf
+    feats = ref_sess._features(frames).astype(np.float32)
+    offline_masks = _offline_masks(model, params, feats, aux)
+    np.testing.assert_allclose(streamed_masks, offline_masks, atol=2e-5)
+
+    fe = model.fe
+    stft_nofade = STFT(size=fe.size, shift=fe.shift,
+                       window_length=fe.window_length, fading=False,
+                       window=fe.window)
+    masked = offline_masks[:, 0] * frames[None]
+    offline_audio = stft_nofade.istft(masked)
+    assert streamed_audio.shape == offline_audio.shape
+    np.testing.assert_allclose(streamed_audio, offline_audio, atol=2e-5)
+
+
+def test_streaming_feature_protocol_causal_stats():
+    """Per-extractor causal statistics: block-wise streaming features with
+    committed-state discipline converge to offline once the running stats
+    have seen everything; frame-local extractors are exact; unsupported
+    extractors raise."""
+    import pytest as _pytest
+
+    from tssep_tpu.features.extractor import (
+        AbsIPDSTFT, Log1pAbsSTFT, Log1pMaxNormAbsSTFT, MFCC,
+        MVNLog1pAbsSTFT)
+
+    rng = np.random.RandomState(0)
+    frames = (rng.randn(40, 33) + 1j * rng.randn(40, 33)).astype(np.complex64)
+
+    # frame-local: exact in any block split
+    fe = Log1pAbsSTFT(size=64, shift=32)
+    state = fe.init_streaming_state()
+    parts = []
+    for i in range(0, 40, 7):
+        f, state = fe.streaming_feature(frames[i:i + 7], state)
+        parts.append(f)
+    np.testing.assert_allclose(np.concatenate(parts),
+                               fe.stft_to_feature(frames), rtol=1e-6)
+
+    # running max ('tf' and 't'): the last block (with stats having seen
+    # all frames) matches offline exactly when the max was seen early
+    for axis in ('tf', 't'):
+        fe = Log1pMaxNormAbsSTFT(size=64, shift=32, statistics_axis=axis)
+        boosted = frames.copy()
+        boosted[:7] *= 10  # global max lives in the first block
+        state = fe.init_streaming_state()
+        parts = []
+        for i in range(0, 40, 7):
+            f, state = fe.streaming_feature(boosted[i:i + 7], state)
+            parts.append(f)
+        np.testing.assert_allclose(np.concatenate(parts),
+                                   fe.stft_to_feature(boosted), rtol=1e-5)
+
+    # 'f' axis is frame-local exact
+    fe = Log1pMaxNormAbsSTFT(size=64, shift=32, statistics_axis='f')
+    f, _ = fe.streaming_feature(frames[:7], fe.init_streaming_state())
+    np.testing.assert_allclose(f, fe.stft_to_feature(frames[:7]), rtol=1e-6)
+
+    # MVN: running mean, no double counting across blocks
+    fe = MVNLog1pAbsSTFT(size=64, shift=32)
+    state = fe.init_streaming_state()
+    for i in range(0, 40, 10):
+        _, state = fe.streaming_feature(frames[i:i + 10], state)
+    assert state['count'] == 40
+    np.testing.assert_allclose(
+        state['sum'] / 40, np.log1p(np.abs(frames)).mean(axis=-2),
+        rtol=1e-5)
+
+    # MFCC: causal top-db clamp via running max
+    fe = MFCC(size=64, shift=32, n_mfcc=5, n_mels=8, f_max=-8,
+              sample_rate=16000)
+    state = fe.init_streaming_state()
+    parts = []
+    boosted = frames.copy()
+    boosted[:7] *= 100
+    for i in range(0, 40, 7):
+        f, state = fe.streaming_feature(boosted[i:i + 7], state)
+        parts.append(f)
+    np.testing.assert_allclose(np.concatenate(parts),
+                               fe.stft_to_feature(boosted), rtol=1e-4,
+                               atol=1e-4)
+
+    # unsupported: loud failure, not silent semantics change
+    fe = AbsIPDSTFT(size=64, shift=32)
+    with _pytest.raises(NotImplementedError):
+        fe.streaming_feature(frames[None].repeat(2, 0), None)

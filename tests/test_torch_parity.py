@@ -1,0 +1,347 @@
+"""Module-level forward parity against the torch reference math.
+
+The reference's network modules (``/root/reference/tssep/train/net.py``,
+``rnnp.py``) cannot be imported here (padertorch is not installed), so this
+file restates their *math* as a plain-torch fixture — LSTM/Linear stacks in
+the reference's exact state-dict layout — runs both implementations on the
+same weights (imported via ``tssep_tpu.compat.torch_ckpt``), and asserts
+forward outputs match.  This is the strongest available bit-parity evidence
+short of real LibriCSS data.
+
+Fixture semantics mirror:
+- ``RNNP_packed``: reference ``rnnp.py:84-101`` (LSTM -> Linear [-> Dropout
+  -> Tanh]), rank-2/3/4 input folding ``rnnp.py:129-138``.
+- ``MaskEstimator_v2`` forward: reference ``net.py:674-986`` — pre_net,
+  'mul'/'cat' conditioning (``:871-894``), permutation-trial expansion
+  (``:900-951``), TS-VAD cross-speaker stacking (``:606-612``), head
+  rearranges (``:629-661``), explicit_vad split (``:969-980``).
+- VAD2Sep broadcast: reference ``init_ckpt.py:66-85`` (repeat_interleave).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+import einops  # noqa: E402
+
+import jax  # noqa: E402
+
+from tssep_tpu.compat.torch_ckpt import load_torch_checkpoint  # noqa: E402
+from tssep_tpu.config import from_config, get_config  # noqa: E402
+
+torch.manual_seed(0)
+
+
+# --------------------------------------------------------------------------
+# Plain-torch fixture in the reference's state-dict layout
+# --------------------------------------------------------------------------
+class TorchRNNP(torch.nn.Module):
+    """Single-layer bidirectional LSTM + projection (rnnp.py:84-101)."""
+
+    def __init__(self, idim, cdim, hdim):
+        super().__init__()
+        self.net = torch.nn.ModuleList([
+            torch.nn.LSTM(idim, cdim, num_layers=1, bidirectional=True,
+                          batch_first=True),
+            torch.nn.Linear(2 * cdim, hdim),
+        ])
+
+    def forward(self, x):
+        shape = x.shape
+        if x.dim() == 4:                       # fold (batch, spk)
+            x = x.reshape(-1, *shape[2:])
+        unbatched = x.dim() == 2
+        if unbatched:
+            x = x[None]
+        h, _ = self.net[0](x)
+        h = self.net[1](h)
+        if unbatched:
+            h = h[0]
+        if len(shape) == 4:
+            h = h.reshape(*shape[:2], *h.shape[1:])
+        return h
+
+
+class TorchPostNet(torch.nn.Module):
+    """3-layer post net with reference attribute names (birnn0..2, linear2).
+
+    The forward lives in TorchMaskEstimator (the stacking rearrange sits
+    between birnn1 and birnn2); this class only hosts the parameters so the
+    state-dict keys match the reference exactly.
+    """
+
+    def __init__(self, first_idim, units, projs, last_in, final_out):
+        super().__init__()
+        self.birnn0 = TorchRNNP(first_idim, units, projs)
+        self.birnn1 = TorchRNNP(projs, units, projs)
+        self.birnn2 = TorchRNNP(last_in, units, projs)
+        self.linear2 = torch.nn.Linear(projs, final_out)
+
+
+class TorchMaskEstimator(torch.nn.Module):
+    def __init__(self, *, idim, odim, units=300, projs=320, nmask=1,
+                 combination='mul', ts_vad=False, output_resolution='tf',
+                 aux_net_output_size=None, num_averaged_permutations=1,
+                 explicit_vad=False):
+        super().__init__()
+        self.odim = odim
+        self.nmask = nmask
+        self.combination = combination
+        self.ts_vad = ts_vad
+        self.output_resolution = output_resolution
+        self.trials = num_averaged_permutations
+        self.explicit_vad = explicit_vad
+        ts_factor = int(ts_vad) if ts_vad else 1
+
+        self.pre_net = TorchRNNP(idim, units, odim)
+        if combination == 'cat':
+            first_idim = odim + aux_net_output_size
+        else:
+            first_idim = odim
+        if output_resolution == 'tf':
+            final_out = (odim + int(explicit_vad)) * nmask * ts_factor
+        else:
+            final_out = nmask * ts_factor
+        self.post_net = TorchPostNet(
+            first_idim, units, projs, projs * ts_factor, final_out)
+
+    @torch.no_grad()
+    def forward(self, xs, aux):
+        batched = xs.dim() == 3
+        if not batched:
+            xs = xs[None]
+            aux = aux[None]
+        B, T, _ = xs.shape
+        S = aux.shape[1]
+
+        xs = self.pre_net(xs)
+        aux_e = aux[:, :, None, :]                       # (B, S, 1, A)
+        if self.combination == 'mul':                    # net.py:871-874
+            h = xs[:, None, :, :] * aux_e
+        elif self.combination == 'cat':                  # net.py:879-894
+            h = torch.cat([
+                xs[:, None, :, :].expand(B, S, T, xs.shape[-1]),
+                aux_e.expand(B, S, T, aux.shape[-1]),
+            ], dim=-1)
+        else:
+            raise NotImplementedError(self.combination)
+
+        if self.trials > 1:                              # net.py:900-924
+            idx = ((np.arange(S)[:, None] + np.arange(S)[None, :])
+                   % S)[:self.trials, :].ravel()
+            h = einops.rearrange(
+                h[:, idx], 'b (tr s) t f -> (b tr) s t f',
+                tr=self.trials, s=S)
+
+        h = self.post_net.birnn0(h)
+        h = torch.tanh(h)
+        h = self.post_net.birnn1(h)
+        h = torch.tanh(h)
+        if self.ts_vad:                                  # net.py:606-612
+            h = einops.rearrange(h, '... s t f -> ... 1 t (s f)',
+                                 s=self.ts_vad)
+        h = self.post_net.birnn2(h)
+        logit = self.post_net.linear2(h)
+
+        if self.output_resolution == 'tf':               # net.py:629-646
+            if self.ts_vad:
+                logit = einops.rearrange(
+                    logit, '... 1 t (s m f) -> ... s m t f',
+                    m=self.nmask, s=self.ts_vad)
+            else:
+                logit = einops.rearrange(
+                    logit, '... s t (m f) -> ... s m t f', m=self.nmask)
+        else:                                            # net.py:647-661
+            if self.ts_vad:
+                logit = einops.repeat(
+                    logit, '... 1 t (s m) -> ... s m t f',
+                    m=self.nmask, s=self.ts_vad, f=self.odim)
+            else:
+                logit = einops.repeat(
+                    logit, '... s t m -> ... s m t f',
+                    m=self.nmask, f=self.odim)
+
+        if self.trials > 1:                              # net.py:928-951
+            logit = einops.rearrange(
+                logit, '(b tr) s m t f -> b (tr s) m t f', tr=self.trials)
+            revert_idx = np.argsort(idx.ravel())
+            logit = logit[:, revert_idx]
+            logit = einops.rearrange(
+                logit, 'b (s tr) m t f -> b s tr m t f',
+                tr=self.trials).mean(dim=2)
+
+        if self.explicit_vad:                            # net.py:969-980
+            mask = torch.sigmoid(logit)
+            vad_mask = mask[..., 0]
+            mask = mask[..., 1:] * vad_mask[..., None]
+            out = {'mask': mask, 'vad_mask': vad_mask,
+                   'vad_logit': logit[..., 0]}
+        else:
+            out = {'mask': torch.sigmoid(logit), 'logit': logit}
+        if not batched:
+            out = {k: v[0] for k, v in out.items()}
+        return out
+
+
+# --------------------------------------------------------------------------
+# Helpers
+# --------------------------------------------------------------------------
+def _export(tme: torch.nn.Module, tmp_path, name='ckpt.pth'):
+    wrapper = torch.nn.Module()
+    wrapper.mask_estimator = tme
+    path = tmp_path / name
+    torch.save({'model': wrapper.state_dict()}, path)
+    return path
+
+
+def _our_estimator(**cfg):
+    if cfg.get('combination') == 'mul':
+        # dogmatic default is 100 (i-vectors); 'mul' requires odim
+        cfg.setdefault('aux_net_output_size',
+                       cfg.get('odim') or cfg['idim'])
+    full = get_config('tssep_tpu.nn.estimator.MaskEstimator', cfg)
+    return from_config(full)
+
+
+def _load_ours(est, path):
+    template = {'mask_estimator': est.init(jax.random.PRNGKey(0))}
+    return load_torch_checkpoint(path, template)['mask_estimator']
+
+
+def _compare(torch_out, our_out, atol=1e-4):
+    np.testing.assert_allclose(
+        np.asarray(our_out.mask), torch_out['mask'].numpy(),
+        atol=atol, rtol=0)
+    if 'logit' in torch_out and our_out.logit is not None:
+        np.testing.assert_allclose(
+            np.asarray(our_out.logit), torch_out['logit'].numpy(),
+            atol=10 * atol, rtol=1e-3)
+    if 'vad_mask' in torch_out:
+        np.testing.assert_allclose(
+            np.asarray(our_out.vad_mask), torch_out['vad_mask'].numpy(),
+            atol=atol, rtol=0)
+
+
+# --------------------------------------------------------------------------
+# Tests
+# --------------------------------------------------------------------------
+@pytest.mark.slow
+def test_forward_parity_flagship_mul_tsvad8_tf(tmp_path):
+    """Full-size flagship config: 'mul', ts_vad=8, 'tf' (~11M params)."""
+    idim, odim, S, T, B = 553, 513, 8, 50, 2
+    tme = TorchMaskEstimator(idim=idim, odim=odim, units=300, projs=320,
+                             combination='mul', ts_vad=S,
+                             output_resolution='tf').eval()
+    path = _export(tme, tmp_path)
+    est = _our_estimator(idim=idim, odim=odim, units=300, projs=320,
+                         combination='mul', ts_vad=S,
+                         output_resolution='tf',
+                         random_speaker_order=False)
+    params = _load_ours(est, path)
+
+    rng = np.random.RandomState(0)
+    xs = rng.randn(B, T, idim).astype(np.float32)
+    aux = rng.randn(B, S, odim).astype(np.float32)
+    torch_out = tme(torch.tensor(xs), torch.tensor(aux))
+    our_out = est.apply(params, xs, aux)
+    _compare(torch_out, our_out)
+
+
+def test_forward_parity_permutation_ensembling(tmp_path):
+    """num_averaged_permutations=2: the cyclic-shift trial expansion and
+    argsort-revert averaging must match the reference exactly."""
+    idim, odim, S, T, B = 24, 16, 4, 12, 3
+    kw = dict(idim=idim, odim=odim, units=10, projs=14, combination='mul',
+              ts_vad=S, output_resolution='tf', num_averaged_permutations=2)
+    tme = TorchMaskEstimator(**kw).eval()
+    path = _export(tme, tmp_path)
+    est = _our_estimator(random_speaker_order=False, **kw)
+    params = _load_ours(est, path)
+
+    rng = np.random.RandomState(1)
+    xs = rng.randn(B, T, idim).astype(np.float32)
+    aux = rng.randn(B, S, odim).astype(np.float32)
+    _compare(tme(torch.tensor(xs), torch.tensor(aux)),
+             est.apply(params, xs, aux), atol=1e-5)
+
+
+def test_forward_parity_cat_unbatched(tmp_path):
+    """'cat' conditioning without ts_vad stacking, rank-2 input path."""
+    idim, odim, A, S, T = 20, 20, 12, 3, 15
+    kw = dict(idim=idim, odim=odim, units=8, projs=10, combination='cat',
+              aux_net_output_size=A, ts_vad=False, output_resolution='tf')
+    tme = TorchMaskEstimator(**kw).eval()
+    path = _export(tme, tmp_path)
+    est = _our_estimator(random_speaker_order=False, **kw)
+    params = _load_ours(est, path)
+
+    rng = np.random.RandomState(2)
+    xs = rng.randn(T, idim).astype(np.float32)
+    aux = rng.randn(S, A).astype(np.float32)
+    _compare(tme(torch.tensor(xs), torch.tensor(aux)),
+             est.apply(params, xs, aux), atol=1e-5)
+
+
+def test_forward_parity_explicit_vad(tmp_path):
+    idim, odim, S, T, B = 18, 12, 4, 10, 2
+    kw = dict(idim=idim, odim=odim, units=6, projs=8, combination='mul',
+              ts_vad=S, output_resolution='tf', explicit_vad=True)
+    tme = TorchMaskEstimator(**kw).eval()
+    path = _export(tme, tmp_path)
+    est = _our_estimator(random_speaker_order=False, **kw)
+    params = _load_ours(est, path)
+
+    rng = np.random.RandomState(3)
+    xs = rng.randn(B, T, idim).astype(np.float32)
+    aux = rng.randn(B, S, odim).astype(np.float32)
+    _compare(tme(torch.tensor(xs), torch.tensor(aux)),
+             est.apply(params, xs, aux), atol=1e-5)
+
+
+def test_vad2sep_broadcast_forward_parity(tmp_path):
+    """TS-VAD 't' checkpoint -> TS-SEP 'tf' warm start: our
+    broadcast_param must reproduce the reference's repeat_interleave
+    (init_ckpt.py:72-85) so that the broadcast forward matches a torch
+    model whose linear2 was repeat_interleaved the same way."""
+    idim, odim, S, T, B = 24, 16, 4, 12, 2
+    base = dict(idim=idim, odim=odim, units=10, projs=14, combination='mul',
+                ts_vad=S)
+    t_vad = TorchMaskEstimator(output_resolution='t', **base).eval()
+
+    # torch-side broadcast: 't' head (S,) -> 'tf' head (S*odim,)
+    t_sep = TorchMaskEstimator(output_resolution='tf', **base).eval()
+    sd = dict(t_vad.state_dict())
+    sd['post_net.linear2.weight'] = torch.repeat_interleave(
+        sd['post_net.linear2.weight'], odim, dim=0)
+    sd['post_net.linear2.bias'] = torch.repeat_interleave(
+        sd['post_net.linear2.bias'], odim, dim=0)
+    t_sep.load_state_dict(sd)
+
+    # our side: import the 't' ckpt, broadcast with broadcast_param
+    path = _export(t_vad, tmp_path)
+    from tssep_tpu.compat.torch_ckpt import torch_checkpoint_to_named
+    from tssep_tpu.train.checkpoint import named_to_params, params_to_named
+    from tssep_tpu.train.init_ckpt import broadcast_param
+    est = _our_estimator(output_resolution='tf',
+                         random_speaker_order=False, **base)
+    template = {'mask_estimator': est.init(jax.random.PRNGKey(0))}
+    named = torch_checkpoint_to_named(path)
+    template_named = params_to_named(template)
+    for k in ('mask_estimator.post_net.linear2.weight',
+              'mask_estimator.post_net.linear2.bias'):
+        named[k] = broadcast_param(np.asarray(named[k]),
+                                   template_named[k].shape, mode='repeat')
+    params = named_to_params(named, template)['mask_estimator']
+
+    rng = np.random.RandomState(4)
+    xs = rng.randn(B, T, idim).astype(np.float32)
+    aux = rng.randn(B, S, odim).astype(np.float32)
+    _compare(t_sep(torch.tensor(xs), torch.tensor(aux)),
+             est.apply(params, xs, aux), atol=1e-5)
+
+    # and zero-shot coherence: the broadcast 'tf' masks, averaged over
+    # freq, equal the 't' activities (constant-over-freq head by design)
+    t_out = t_vad(torch.tensor(xs), torch.tensor(aux))
+    np.testing.assert_allclose(
+        t_sep(torch.tensor(xs), torch.tensor(aux))['mask'].numpy(),
+        t_out['mask'].numpy(), atol=1e-6)

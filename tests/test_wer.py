@@ -101,8 +101,60 @@ def test_orc_wer_beats_naive_channel():
 
 
 def test_orc_wer_guard():
+    # max_speakers is enforced (the segment DP itself has no K^S guard)
     with pytest.raises(ValueError):
-        orc_wer(['a'] * 8, ['x'] * 10)
+        orc_wer(['a'] * 9, ['x'] * 3, max_speakers=8)
+
+
+def test_orc_wer_matches_exhaustive_oracle():
+    import random
+
+    from tssep_tpu.eval.wer import _orc_wer_exhaustive
+
+    rng = random.Random(0)
+    vocab = ['a', 'b', 'c', 'd', 'e']
+    for trial in range(25):
+        k = rng.randint(1, 3)
+        s = rng.randint(1, 6)
+        refs = [' '.join(rng.choices(vocab, k=rng.randint(0, 6)))
+                for _ in range(k)]
+        segs = [' '.join(rng.choices(vocab, k=rng.randint(0, 4)))
+                for _ in range(s)]
+        got = orc_wer(refs, segs)
+        want = _orc_wer_exhaustive(refs, segs)
+        assert got.errors == want.errors, (trial, refs, segs)
+        assert got.length == want.length
+
+
+def test_orc_wer_meeting_scale():
+    # 8 speakers x 24 segments: impossible for K^S enumeration (8^24),
+    # must complete via the segment DP and find the zero-error assignment.
+    refs_words = [[f'w{spk}x{i}' for i in range(9)] for spk in range(8)]
+    segs, order = [], []
+    for spk in range(8):
+        for part in range(3):
+            segs.append(' '.join(refs_words[spk][part * 3:(part + 1) * 3]))
+            order.append(spk)
+    # interleave segments round-robin in a temporal-order-preserving way
+    idx = sorted(range(len(segs)), key=lambda i: (i % 3, order[i]))
+    segs = [segs[i] for i in idx]
+    refs = [' '.join(w) for w in refs_words]
+    result, assignment = orc_wer(refs, segs, return_assignment=True)
+    assert result.errors == 0
+    assert result.length == 8 * 9
+    assert assignment == [order[i] for i in idx]
+
+
+def test_orc_wer_corrupted_segment_meeting_scale():
+    refs = [' '.join(f's{k}w{i}' for i in range(6)) for k in range(8)]
+    segs = []
+    for i in range(3):
+        for k in range(8):
+            segs.append(f's{k}w{2 * i} s{k}w{2 * i + 1}')
+    segs[5] = 'XXX YYY'  # one fully corrupted 2-word segment
+    result = orc_wer(refs, segs)
+    assert result.errors == 2
+    assert result.length == 48
 
 
 def test_function_transcriber():

@@ -71,6 +71,61 @@ def main():
     assert e < 2e-3, e
     print('LAYER VJP OK')
 
+    # Fully-fused layer (in-kernel input projections)
+    def loss_ff(p, x):
+        return jnp.sum(kb.blstm_layer_fullfused(p, x) ** 2)
+
+    out_ff = jax.jit(lambda p, x: kb.blstm_layer_fullfused(p, x))(params, x)
+    e = float(jnp.max(jnp.abs(ref - out_ff)))
+    print('fullfuse fwd max err:', e)
+    assert e < 2e-3, e
+    g_ff = jax.jit(jax.grad(loss_ff))(params, x)
+    gx_ff = jax.jit(jax.grad(loss_ff, argnums=1))(params, x)
+    for k in sorted(g_ref):
+        a, b = np.asarray(g_ref[k]), np.asarray(g_ff[k])
+        e = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+        print(f'  fullfuse grad {k}: rel err {e:.2e}')
+        assert e < 5e-3, (k, e)
+    e = float(jnp.max(jnp.abs(gx_ref - gx_ff)))
+    print('fullfuse input grad max err:', e)
+    assert e < 2e-3, e
+    print('FULLFUSE OK')
+
+    # Conditioned fully-fused layer ((xs * aux) formed in VMEM)
+    S = 4
+    aux = jax.random.normal(jax.random.PRNGKey(3), (B, S, I), jnp.float32)
+
+    def cond_ref_fn(p, xs, aux):
+        h = xs[:, None, :, :] * aux[:, :, None, :]
+        h = h.reshape((B * S,) + h.shape[2:])
+        out = rnnp._blstm_apply_impl(p, h, H, True)
+        return out.reshape((B, S) + out.shape[1:])
+
+    ref_c = jax.jit(cond_ref_fn)(params, x, aux)
+    got_c = jax.jit(kb.blstm_layer_fullfused_cond)(params, x, aux)
+    e = float(jnp.max(jnp.abs(ref_c - got_c)))
+    print('condfuse fwd max err:', e)
+    assert e < 2e-3, e
+
+    def loss_cref(p, xs, aux):
+        return jnp.sum(cond_ref_fn(p, xs, aux) ** 2)
+
+    def loss_cffc(p, xs, aux):
+        return jnp.sum(kb.blstm_layer_fullfused_cond(p, xs, aux) ** 2)
+
+    g_cref = jax.jit(jax.grad(loss_cref, argnums=(0, 1, 2)))(params, x, aux)
+    g_cffc = jax.jit(jax.grad(loss_cffc, argnums=(0, 1, 2)))(params, x, aux)
+    for k in sorted(g_cref[0]):
+        a, b = np.asarray(g_cref[0][k]), np.asarray(g_cffc[0][k])
+        e = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+        print(f'  condfuse grad {k}: rel err {e:.2e}')
+        assert e < 5e-3, (k, e)
+    for name, i in (('xs', 1), ('aux', 2)):
+        e = float(jnp.max(jnp.abs(g_cref[i] - g_cffc[i])))
+        print(f'condfuse d{name} max err:', e)
+        assert e < 2e-3, e
+    print('CONDFUSE OK')
+
 
 if __name__ == '__main__':
     main()

@@ -66,6 +66,11 @@ class ShardCorpusReader:
             if 'speaker_reverberation_early_ch0' in load_keys:
                 ex['audio_data']['speaker_reverberation_early_ch0'] = get(
                     'speaker_reverberation_early_ch0')
+            # optional fields written by data.import_corpus
+            from tssep_tpu.data.import_corpus import decode_strings
+            for field in ('transcription', 'speaker_ids'):
+                if f'{example_id}/{field}' in reader._index:
+                    ex[field] = decode_strings(get(field))
             return ex
 
         # Lazy: the list holds ids; payloads load in the map stage (which

@@ -10,6 +10,22 @@ layer is new, designed mesh-first per the TPU scaling recipe:
   trunk is scaled up) sharded over ``'model'`` along the 4H gate dim;
 - everything expressed as ``NamedSharding`` trees: the SPMD partitioner
   inserts the collectives, no hand-written NCCL-style code.
+
+Scope of tensor parallelism ('model' > 1) — explicit, so nobody ships it
+by accident:
+
+- It is a **memory-scaling capability**, numerically equivalent to the
+  single-device trajectory (``tests/test_dist_train.py::
+  test_tp_mesh_matches_single_device``) and integrated end-to-end
+  (checkpoint/resume on the mesh).
+- It is **not the recommended performance mesh for the flagship model**
+  (~11M params, fits any single chip many times over): under gate-dim
+  sharding the per-step gate slices ``gates[..., k*H:(k+1)*H]`` force
+  resharding collectives inside the scan, the per-chip matmuls shrink
+  below good MXU tile sizes, and the fused Pallas recurrence kernel is
+  fenced to the scan path (``train/trainer.py``).  Use ``model=1`` and
+  scale over 'data' (+ segment-parallel eval) unless the trunk itself has
+  outgrown a chip's HBM.
 """
 
 from __future__ import annotations

@@ -157,11 +157,30 @@ def main(argv=None):
         limit = overrides.pop('limit', None)
         transcriber = overrides.pop('transcriber', None)
         if isinstance(transcriber, str):
-            # dotted path to a Transcriber instance, class, or factory
+            # dotted path to a Transcriber instance, class, or factory.
+            # A class or a zero-required-arg factory is called to build the
+            # transcriber; anything else (incl. a ``(samples, sr)``
+            # callable) is used directly.
             mod, _, attr = transcriber.rpartition('.')
             import importlib
+            import inspect
+            from tssep_tpu.eval.wer import Transcriber
             obj = getattr(importlib.import_module(mod), attr)
-            transcriber = obj() if isinstance(obj, type) else obj
+            if isinstance(obj, type):
+                transcriber = obj()
+            elif callable(obj) and not isinstance(obj, Transcriber):
+                try:
+                    n_required = sum(
+                        1 for p in
+                        inspect.signature(obj).parameters.values()
+                        if p.default is inspect.Parameter.empty
+                        and p.kind in (p.POSITIONAL_ONLY,
+                                       p.POSITIONAL_OR_KEYWORD))
+                except (TypeError, ValueError):
+                    n_required = 2
+                transcriber = obj() if n_required == 0 else obj
+            else:
+                transcriber = obj
         config = build_config(files, overrides)
         eg = from_config(config['eg'])
         return evaluate(eg, checkpoint=checkpoint, out=out,

@@ -15,16 +15,23 @@ TS-VAD/TS-SEP model incrementally with bounded latency:
   the output is bit-identical to offline inference, see
   ``tests/test_streaming.py``);
 - feature normalization statistics that are global offline (e.g. the
-  ``Log1pMaxNormAbs`` max) are maintained causally as running statistics.
+  ``Log1pMaxNormAbs`` max, MVN means, MFCC top-db reference) are maintained
+  causally as running statistics via the per-extractor
+  ``streaming_feature`` protocol (``features.extractor``); extractors with
+  no causal equivalent raise loudly instead of silently changing semantics;
+- with ``emit_audio=True`` the session also performs streaming enhancement:
+  per-chunk mask-multiply + incremental ISTFT overlap-add (carrying the
+  ``window_length - shift`` unfinished tail), emitting separated audio with
+  the same latency as the masks.
 
 Usage::
 
     sess = StreamingSession(model, params, aux, chunk_frames=50,
-                            lookahead_frames=12)
+                            lookahead_frames=12, emit_audio=True)
     for block in audio_blocks:                 # arbitrary sample counts
-        for masks, activity in sess.process(block):
-            ...                                # (S, nmask, chunk, F), (S, chunk)
-    for masks, activity in sess.flush():
+        for masks, activity, audio in sess.process(block):
+            ...         # (S, nmask, chunk, F), (S, chunk), (S, samples)
+    for masks, activity, audio in sess.flush():
         ...
 """
 
@@ -108,6 +115,11 @@ class StreamingSession:
     aux: object
     chunk_frames: int = 50
     lookahead_frames: int = 12
+    #: emit separated audio per chunk (streaming masking + ISTFT
+    #: overlap-add; the offline synthesis half of reference
+    #: ``model.py:661-664``).  ``process``/``flush`` then yield
+    #: ``(masks, activity, audio (S, samples))`` triples.
+    emit_audio: bool = False
 
     def __post_init__(self):
         me = self.model.mask_estimator
@@ -125,7 +137,14 @@ class StreamingSession:
         self._sample_buf = np.zeros(0, dtype=np.float32)
         self._frame_buf = None                            # (T, F) complex
         self._consumed_samples = 0
-        self._running_max = 1e-30
+        self._fe_state = self.model.fe.init_streaming_state()
+        self._ola_tail = None                             # (S, wl - shift)
+        if self.emit_audio:
+            fe = self.model.fe
+            if me.odim != fe.size // 2 + 1:
+                raise ValueError(
+                    f'emit_audio needs masks over all STFT bins: odim='
+                    f'{me.odim} != {fe.size // 2 + 1} frequencies')
         self._step = jax.jit(self._block_fn,
                              static_argnames=('split',))
 
@@ -187,15 +206,15 @@ class StreamingSession:
                            else np.concatenate([self._frame_buf, spec]))
 
     def _emit_ready(self, final=False):
-        """Yield (masks, activity) per complete chunk in the buffer."""
-        me = self.model.mask_estimator
+        """Yield (masks, activity[, audio]) per complete chunk."""
         need = self.chunk_frames + self.lookahead_frames
         while self._frame_buf is not None and (
                 len(self._frame_buf) >= need
                 or (final and len(self._frame_buf) > 0)):
             block = self._frame_buf[:need]
             split = min(self.chunk_frames, len(block))
-            feats = np.asarray(self._features(block), dtype=np.float32)
+            feats = np.asarray(self._features(block, split),
+                               dtype=np.float32)
             logit, self._states = self._step(
                 self.params, jnp.asarray(feats), self._aux, self._states,
                 split=int(split))
@@ -203,23 +222,58 @@ class StreamingSession:
             masks = np.asarray(sig[..., :split, :])
             # per-speaker frame activity = mask mean over (nmask, freq)
             activity = masks.mean(axis=(-3, -1))
+            last = len(self._frame_buf) <= split
+            if self.emit_audio:
+                audio = self._synthesize(
+                    masks[:, 0] * block[None, :split], final=final and last)
             self._frame_buf = self._frame_buf[split:]
             if len(self._frame_buf) == 0:
                 self._frame_buf = None
-            yield masks, activity
+            if self.emit_audio:
+                yield masks, activity, audio
+            else:
+                yield masks, activity
 
-    def _features(self, block):
-        """Block features with *causal* global statistics where the offline
-        extractor uses utterance-level ones (running max for MaxNorm)."""
-        from tssep_tpu.features.extractor import Log1pMaxNormAbsSTFT
+    def _features(self, block, split=None):
+        """Block features with *causal* statistics (running max/mean where
+        the offline extractor uses utterance-level ones).
+
+        Statistics PEEK over the whole visible block (committed + chunk +
+        lookahead — all genuinely available within the latency budget; with
+        covering lookahead this reproduces offline utterance statistics
+        exactly), but only the first ``split`` frames are COMMITTED into
+        the persistent state, so re-processed lookahead frames are never
+        double-counted (which would bias running means)."""
         fe = self.model.fe
-        if isinstance(fe, Log1pMaxNormAbsSTFT) \
-                and fe.statistics_axis == 'tf':
-            s = np.abs(block)
-            self._running_max = max(self._running_max, float(s.max()))
-            return np.log1p(s * ((np.e - 1) / self._running_max))
-        # other extractors: per-block statistics (streaming approximation)
-        return fe.stft_to_feature(block)
+        feats, peek_state = fe.streaming_feature(block, self._fe_state)
+        commit = block if split is None else block[:split]
+        if len(commit) == len(block):
+            self._fe_state = peek_state
+        else:
+            _, self._fe_state = fe.streaming_feature(commit, self._fe_state)
+        return feats
+
+    def _synthesize(self, masked, final=False):
+        """Streaming ISTFT: overlap-add of ``masked`` (S, T, F) complex
+        frames, carrying the (window_length - shift) unfinished tail across
+        chunks.  Matches offline ``signal.stft.STFT.istft`` with
+        ``fading=False`` sample-for-sample."""
+        fe = self.model.fe
+        wl, shift = fe.window_length, fe.shift
+        T = masked.shape[-2]
+        segs = np.fft.irfft(masked, n=fe.size, axis=-1)[..., :wl]
+        segs = segs * np.asarray(fe._stft.synthesis_window)
+        total = (T - 1) * shift + wl
+        out = np.zeros(masked.shape[:-2] + (total,), dtype=segs.dtype)
+        for f in range(T):
+            out[..., f * shift:f * shift + wl] += segs[..., f, :]
+        if self._ola_tail is not None:
+            out[..., :wl - shift] += self._ola_tail
+        if final:
+            self._ola_tail = None
+            return out
+        self._ola_tail = out[..., T * shift:]
+        return out[..., :T * shift]
 
     def process(self, samples):
         """Feed a block of audio samples; yields zero or more

@@ -162,42 +162,192 @@ def cp_wer(reference_by_speaker: Sequence, hypothesis_by_speaker: Sequence,
     return result
 
 
-def orc_wer(reference_by_speaker: Sequence, hypothesis_segments: Sequence,
-            max_speakers=8):
-    """Optimal-reference-combination WER.
-
-    Hypothesis *segments* (in temporal order, no speaker labels) are each
-    attributed to one reference speaker (channel); the attribution
-    minimizing the total word errors over all assignments is found by
-    exhaustive search over per-segment channels with memoized per-channel
-    concatenation — exact for the small segment counts of meeting eval
-    (complexity K^S; guarded).
-    """
+def _normalize_orc_inputs(reference_by_speaker, hypothesis_segments):
     refs = [_words(r) if isinstance(r, (str, list)) else list(r)
             for r in reference_by_speaker]
     segs = [_words(s) for s in hypothesis_segments]
+    return refs, segs
+
+
+def _orc_result(refs, segs, assignment):
+    """Exact WerResult (with ins/del/sub breakdown) for one assignment."""
+    streams = [[] for _ in range(len(refs))]
+    for seg, ch in zip(segs, assignment):
+        streams[ch].extend(seg)
+    result = WerResult(0, 0, 0, 0, 0)
+    for r, hyp_stream in zip(refs, streams):
+        result = result + wer(r, hyp_stream)
+    return result
+
+
+def _orc_wer_exhaustive(reference_by_speaker: Sequence,
+                        hypothesis_segments: Sequence,
+                        return_assignment=False):
+    """K^S exhaustive ORC-WER — the test oracle for ``orc_wer`` (guarded)."""
+    refs, segs = _normalize_orc_inputs(reference_by_speaker,
+                                       hypothesis_segments)
     k, s = len(refs), len(segs)
-    if k == 0:
-        total = sum(len(x) for x in segs)
-        return WerResult(total, 0, total, 0, 0)
-    if s == 0:
-        total = sum(len(r) for r in refs)
-        return WerResult(total, sum(len(r) for r in refs), 0, total, 0)
+    if k == 0 or s == 0:
+        return orc_wer(refs, segs, return_assignment=return_assignment)
     if k ** s > 250_000:
         raise ValueError(
-            f'orc_wer: {k}^{s} assignments is too many for exhaustive '
-            f'search; merge segments or use cp_wer')
-    best = None
+            f'orc_wer exhaustive oracle: {k}^{s} assignments is too many')
+    best, best_assign = None, None
     for assign in itertools.product(range(k), repeat=s):
-        streams = [[] for _ in range(k)]
-        for seg, ch in zip(segs, assign):
-            streams[ch].extend(seg)
-        result = WerResult(0, 0, 0, 0, 0)
-        for r, hyp_stream in zip(refs, streams):
-            result = result + wer(r, hyp_stream)
+        result = _orc_result(refs, segs, assign)
         if best is None or result.errors < best.errors:
-            best = result
+            best, best_assign = result, assign
+    if return_assignment:
+        return best, list(best_assign)
     return best
+
+
+def _extend_rows(rows, sub_costs, ar):
+    """Append one hypothesis word to a stack of Levenshtein rows.
+
+    ``rows``: (N, R+1) int array; ``rows[n, i]`` = edit distance between
+    ``ref[:i]`` and hypothesis stream ``n`` so far.  ``sub_costs``: (R,)
+    0/1 substitution costs of the new word vs each ref word.  ``ar``:
+    ``arange(R+1)`` scratch.  Returns the updated (N, R+1) rows.
+
+    Vectorized over N and R; the delete recurrence ``e[i]=e[i-1]+1`` is
+    resolved with a prefix-min over ``base[j]-j``.
+    """
+    base = np.empty_like(rows)
+    base[:, 0] = rows[:, 0] + 1
+    if rows.shape[1] > 1:
+        base[:, 1:] = np.minimum(rows[:, 1:] + 1,
+                                 rows[:, :-1] + sub_costs[None, :])
+    t = base - ar[None, :]
+    np.minimum.accumulate(t, axis=1, out=t)
+    return t + ar[None, :]
+
+
+def orc_wer(reference_by_speaker: Sequence, hypothesis_segments: Sequence,
+            max_speakers=8, beam=20_000, return_assignment=False):
+    """Optimal-reference-combination WER.
+
+    Hypothesis *segments* (in temporal order, no speaker labels) are each
+    attributed to one reference speaker (channel); each channel's
+    hypothesis stream is the in-order concatenation of its segments, and
+    the assignment minimizing total word errors is found by a dynamic
+    program over segments (reference keeps WER scoring in ``tssep_data``;
+    this is the in-framework equivalent of MeetEval-style ORC-WER).
+
+    State after ``t`` segments = one Levenshtein DP row per channel
+    (distance of every ``ref_k`` prefix to the words assigned to ``k`` so
+    far).  States are deduplicated, and branch-and-bound pruned against an
+    incumbent (greedy) solution with the admissible bound
+    ``sum_k min(row_k)`` — pruning by an admissible bound preserves
+    exactness.  Only the ``beam`` cap (keep the ``beam`` lowest-bound
+    states per step) can sacrifice optimality; with ``beam=None`` the
+    search is exact.  Scales to meeting-size inputs (8 spk x 20+ segments)
+    where the old K^S enumeration could not.
+
+    ``max_speakers`` guards against accidentally huge channel counts.
+    """
+    refs, segs = _normalize_orc_inputs(reference_by_speaker,
+                                       hypothesis_segments)
+    k, s = len(refs), len(segs)
+    if k > max_speakers:
+        raise ValueError(
+            f'orc_wer: {k} reference speakers > max_speakers={max_speakers}')
+    if k == 0:
+        total = sum(len(x) for x in segs)
+        res = WerResult(total, 0, total, 0, 0)
+        return (res, []) if return_assignment else res
+    if s == 0:
+        total = sum(len(r) for r in refs)
+        res = WerResult(total, total, 0, total, 0)
+        return (res, []) if return_assignment else res
+
+    ref_arrays = [np.asarray(r, dtype=object) for r in refs]
+    aranges = [np.arange(len(r) + 1, dtype=np.int32) for r in refs]
+    # Per (channel, segment): 0/1 substitution-cost rows for each word.
+    sub_cost = [
+        [[(ra != w).astype(np.int32) for w in seg] for seg in segs]
+        for ra in ref_arrays]
+
+    def extend_matrix(rows, ch, seg_idx):
+        for costs in sub_cost[ch][seg_idx]:
+            rows = _extend_rows(rows, costs, aranges[ch])
+        return rows
+
+    # --- incumbent: greedy assignment (upper bound for pruning) --------
+    g_rows = [aranges[ch][None, :].copy() for ch in range(k)]
+    g_assign = []
+    for t in range(s):
+        best_ch, best_score, best_new = None, None, None
+        mins = [r.min() for r in g_rows]
+        for ch in range(k):
+            new = extend_matrix(g_rows[ch], ch, t)
+            score = int(new.min()) + sum(m for j, m in enumerate(mins)
+                                         if j != ch)
+            if best_score is None or score < best_score:
+                best_ch, best_score, best_new = ch, score, new
+        g_rows[best_ch] = best_new
+        g_assign.append(best_ch)
+    incumbent_cost = int(sum(r[0, -1] for r in g_rows))
+    incumbent_assign = list(g_assign)
+
+    # --- branch-and-bound DP over segments ------------------------------
+    # Parallel arrays over live states: per-channel row matrices (N, R+1),
+    # and the partial assignment per state.
+    rows_by_ch = [aranges[ch][None, :].copy() for ch in range(k)]
+    assigns = [()]
+    for t in range(s):
+        n = rows_by_ch[0].shape[0]
+        ext = [extend_matrix(rows_by_ch[ch], ch, t) for ch in range(k)]
+        min_static = np.stack([r.min(axis=1) for r in rows_by_ch])  # (K, N)
+        min_ext = np.stack([e.min(axis=1) for e in ext])            # (K, N)
+        total_static = min_static.sum(axis=0)                       # (N,)
+        # child (ch, i): bound = total_static[i] - min_static[ch,i]
+        #                        + min_ext[ch,i]
+        bounds = total_static[None, :] - min_static + min_ext       # (K, N)
+        keep_ch, keep_i = np.nonzero(bounds <= incumbent_cost)
+        if keep_ch.size == 0:
+            # Everything pruned: the incumbent is optimal.
+            assigns = []
+            break
+        order = np.argsort(bounds[keep_ch, keep_i], kind='stable')
+        if beam is not None and order.size > beam:
+            order = order[:beam]
+        seen = {}
+        new_assigns = []
+        sel_idx, sel_ch = [], []
+        for o in order:
+            ch, i = int(keep_ch[o]), int(keep_i[o])
+            key = tuple(
+                (ext[ch] if j == ch else rows_by_ch[j])[i].tobytes()
+                for j in range(k))
+            if key in seen:
+                continue
+            seen[key] = True
+            sel_idx.append(i)
+            sel_ch.append(ch)
+            new_assigns.append(assigns[i] + (ch,))
+        sel_idx = np.asarray(sel_idx)
+        sel_ch_a = np.asarray(sel_ch)
+        rows_by_ch = [
+            np.where((sel_ch_a == j)[:, None],
+                     ext[j][sel_idx], rows_by_ch[j][sel_idx])
+            for j in range(k)]
+        assigns = new_assigns
+        # Tighten the incumbent with the best complete-now estimate.
+        finals = sum(r[:, -1] for r in rows_by_ch)
+        # (only a real incumbent at t == s-1; intermediate finals assume
+        # no further segments on those channels, which is not available —
+        # skip tightening mid-way.)
+        if t == s - 1:
+            best_i = int(np.argmin(finals))
+            if int(finals[best_i]) < incumbent_cost:
+                incumbent_cost = int(finals[best_i])
+                incumbent_assign = list(assigns[best_i])
+
+    result = _orc_result(refs, segs, incumbent_assign)
+    if return_assignment:
+        return result, incumbent_assign
+    return result
 
 
 class Transcriber:

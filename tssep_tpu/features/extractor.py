@@ -89,6 +89,32 @@ class STFTFeatures(Configurable):
     def stft_to_feature(self, stft_signals):
         return stft_signals
 
+    # -- streaming ----------------------------------------------------------
+    #: True when ``stft_to_feature`` is frame-local (no cross-frame
+    #: statistics): block-wise streaming is then bit-identical to offline.
+    frame_local = False
+
+    def init_streaming_state(self):
+        """Initial state for ``streaming_feature`` (None = stateless)."""
+        return None
+
+    def streaming_feature(self, block, state):
+        """Features for a block of STFT frames with *causal* statistics.
+
+        Offline utterance-level statistics (max/mean normalizers) are
+        replaced by running statistics over all frames seen so far;
+        frame-local extractors are exact.  Returns ``(features, state)``.
+        Extractors whose statistics cannot be maintained causally raise —
+        streaming must not silently change feature semantics.
+        """
+        if self.frame_local:
+            return self.stft_to_feature(block), state
+        raise NotImplementedError(
+            f'{type(self).__name__} has cross-frame feature statistics '
+            f'with no causal streaming equivalent implemented; streaming '
+            f'inference would silently change semantics. Use a frame-local '
+            f'or running-stats extractor, or implement streaming_feature.')
+
     def __call__(self, signal):
         return self.stft_to_feature(self.stft(signal))
 
@@ -100,11 +126,15 @@ class STFTFeatures(Configurable):
 
 
 class AbsSTFT(STFTFeatures):
+    frame_local = True
+
     def stft_to_feature(self, stft_signals):
         return abs(stft_signals)
 
 
 class Log1pAbsSTFT(STFTFeatures):
+    frame_local = True
+
     def stft_to_feature(self, stft_signals):
         xp = _xp(stft_signals)
         return xp.log1p(abs(stft_signals))
@@ -134,6 +164,21 @@ class MVNLog1pAbsSTFT(Log1pAbsSTFT):
             raise NotImplementedError('norm_vars=True')
         return feature
 
+    frame_local = False
+
+    def init_streaming_state(self):
+        return {'count': 0, 'sum': None}
+
+    def streaming_feature(self, block, state):
+        """Causal MVN: subtract the running mean over all frames so far
+        (the causal analog of the offline utterance mean)."""
+        feature = np.log1p(np.abs(block))
+        s = feature.sum(axis=-2)
+        state = {'count': state['count'] + feature.shape[-2],
+                 'sum': s if state['sum'] is None else state['sum'] + s}
+        mean = state['sum'] / max(state['count'], 1)
+        return feature - mean[..., None, :], state
+
 
 class Log1pMaxNormAbsSTFT(STFTFeatures):
     """``log1p(|X| * (e-1) / max|X|)`` in [0, 1].
@@ -158,8 +203,34 @@ class Log1pMaxNormAbsSTFT(STFTFeatures):
         norm = xp.amax(s, keepdims=True, axis=axis)
         return xp.log1p(s * ((np.e - 1) / norm))
 
+    # statistics_axis 'f' (per-frame max over freq) is frame-local; 'tf'
+    # and 't' keep a running max over all frames seen so far.
+    def init_streaming_state(self):
+        return {'max': None}
+
+    def streaming_feature(self, block, state):
+        s = np.abs(block)
+        if self.statistics_axis == 'f':
+            return self.stft_to_feature(block), state
+        if self.statistics_axis == 'tf':
+            cur = float(s.max()) if s.size else 0.0
+            prev = state['max'] if state['max'] is not None else 1e-30
+            norm = max(prev, cur, 1e-30)
+        elif self.statistics_axis == 't':
+            cur = (s.max(axis=-2) if s.shape[-2]
+                   else np.zeros(s.shape[-1]))
+            prev = (state['max'] if state['max'] is not None
+                    else np.full(s.shape[-1], 1e-30))
+            norm = np.maximum(np.maximum(prev, cur), 1e-30)
+        else:
+            raise ValueError(self.statistics_axis)
+        state = {'max': norm}
+        return np.log1p(s * ((np.e - 1) / norm)), state
+
 
 class NoFeatureSTFT(STFTFeatures):
+    frame_local = True
+
     def stft_to_feature(self, stft_signals):
         return stft_signals[..., :0]
 
@@ -250,6 +321,14 @@ class Log1pMaxNormAbsIPDSTFT(Log1pMaxNormAbsSTFT):
         cos, sin = interchannel_phase_differences(stft_signals, concatenate=False)
         return xp.concatenate([feat, cos, sin], axis=-1)
 
+    def streaming_feature(self, block, state):
+        # Do NOT inherit the MaxNorm streaming path: it would silently drop
+        # the IPD part, and the random channel pairing is re-sampled per
+        # call, so block-wise output would be inconsistent across blocks.
+        raise NotImplementedError(
+            'IPD extractors sample a random channel pairing per call and '
+            'are not supported in streaming inference.')
+
 
 # ---------------------------------------------------------------------------
 # MFCC
@@ -260,6 +339,10 @@ class MFCC(STFTFeatures):
     torchaudio-based ``TorchMFCC`` (``feature_extractor_torchaudio.py:11-106``):
     power spectrogram -> mel filterbank -> AmplitudeToDB('power', 80) (or log)
     -> DCT-II.
+
+    NOTE ``frame_local`` nuance: with ``log_mels=False`` the
+    AmplitudeToDB top-db clamp uses the block max; causal streaming keeps
+    a running max instead (see ``streaming_feature``).
     """
 
     def __init__(self, size=400, shift=200, window_length=None, pad=True,
@@ -307,6 +390,26 @@ class MFCC(STFTFeatures):
             mel = amplitude_to_db(mel, top_db=self.top_db, xp=xp)
         dct = self.dct_mat if xp is np else jnp.asarray(self.dct_mat)
         return mel @ dct
+
+    def init_streaming_state(self):
+        return {'max_db': None}
+
+    def streaming_feature(self, block, state):
+        """Causal MFCC: the AmplitudeToDB top-db clamp reference max is a
+        running max over all frames so far (log_mels=True is frame-local
+        and exact)."""
+        power = np.abs(block).astype(np.float32) ** 2
+        mel = power @ self.fbank
+        if self.log_mels:
+            return (np.log(mel + 1e-6) @ self.dct_mat), state
+        x_db = 10.0 * np.log10(np.clip(mel, 1e-10, None))
+        cur = float(x_db.max()) if x_db.size else -np.inf
+        prev = state['max_db'] if state['max_db'] is not None else -np.inf
+        mx = max(prev, cur)
+        state = {'max_db': mx}
+        if np.isfinite(mx):
+            x_db = np.maximum(x_db, mx - self.top_db)
+        return (x_db @ self.dct_mat), state
 
 
 #: Name used by the reference's configs.
@@ -357,6 +460,16 @@ class ConcatenatedSTFTFeatures(STFTFeatures):
              self.fe2.stft_to_feature(stft_signals)],
             axis=-1,
         )
+
+    def init_streaming_state(self):
+        return (self.fe1.init_streaming_state(),
+                self.fe2.init_streaming_state())
+
+    def streaming_feature(self, block, state):
+        f1, s1 = self.fe1.streaming_feature(block, state[0])
+        f2, s2 = self.fe2.streaming_feature(block, state[1])
+        return np.concatenate([np.asarray(f1), np.asarray(f2)], axis=-1), \
+            (s1, s2)
 
 
 #: Alias with the reference's (misspelled) class name so its YAML configs load.

@@ -327,8 +327,38 @@ class MaskEstimator(Configurable):
             xs = xs.astype(COMPUTE_DTYPE)
             aux = aux.astype(COMPUTE_DTYPE)
 
-        # 4. conditioning
-        if self.combination == 'mul':
+        # 4. conditioning — optionally fused into the first post-net
+        # layer's Pallas kernel (the (B, S, T, F) 'mul'-conditioned tensor
+        # then never exists in HBM; kernels/blstm.py fullfused_cond)
+        from tssep_tpu.nn import rnnp as _rnnp_mod
+        cond_fused = (
+            self.combination == 'mul'
+            and not (self.layers == 1 and self.ts_vad)  # stacking first
+            and self.birnns[0].elayers == 1
+            and self.birnns[0].bidirectional
+            and _rnnp_mod.cond_fuse_active())
+        first_layer = 0
+        if cond_fused:
+            xs_c, aux_c = xs, aux
+            if trials > 1:
+                idx, revert_idx = _permutation_trial_indices(S, trials)
+                # expanding aux is equivalent to expanding the product
+                aux_c = aux[:, idx].reshape((B * trials, S, aux.shape[-1]))
+                xs_c = jnp.broadcast_to(
+                    xs[:, None], (B, trials) + xs.shape[1:]
+                ).reshape((B * trials,) + xs.shape[1:])
+            h = self.birnns[0].apply_conditioned(
+                params['post_net']['birnn0'], xs_c, aux_c, rng=rng,
+                training=training)
+            if 0 < self.layers - 1:
+                if training and self.dropout > 0 and rng is not None:
+                    rng, sub = jax.random.split(rng)
+                    keep = jax.random.bernoulli(sub, 1 - self.dropout,
+                                                h.shape)
+                    h = jnp.where(keep, h / (1 - self.dropout), 0)
+                h = jnp.tanh(h)
+            first_layer = 1
+        elif self.combination == 'mul':
             h = xs[:, None, :, :] * aux[:, :, None, :]
         elif self.combination == 'cat':
             h = jnp.concatenate(
@@ -340,13 +370,15 @@ class MaskEstimator(Configurable):
         # h: (B, S, T, F')
 
         # 5. permutation-trial expansion (free data parallelism)
-        if trials > 1:
+        if trials > 1 and not cond_fused:
             idx, revert_idx = _permutation_trial_indices(S, trials)
             h = h[:, idx]                                  # (B, trials*S, T, F')
             h = h.reshape((B * trials, S) + h.shape[2:])
 
         # 6. post net
         for l, birnn in enumerate(self.birnns):
+            if l < first_layer:
+                continue
             if l == self.layers - 1 and self.ts_vad:
                 # cross-speaker stacking: (B', S, T, F) -> (B', 1, T, S*F)
                 h = jnp.swapaxes(h, 1, 2)                  # (B', T, S, F)

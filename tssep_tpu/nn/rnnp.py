@@ -86,7 +86,9 @@ def _blstm_apply_impl(params, x, hidden_size: int, bidirectional: bool):
 
     def direction(suffix, reverse):
         w_ih = params['weight_ih_l0' + suffix].astype(x.dtype)
-        w_hh = params['weight_hh_l0' + suffix]
+        # cast w_hh too: a f32 w_hh under bf16 activations would promote
+        # the scan carry to f32 and break the carry-type invariant
+        w_hh = params['weight_hh_l0' + suffix].astype(x.dtype)
         b = (params['bias_ih_l0' + suffix]
              + params['bias_hh_l0' + suffix]).astype(x.dtype)
         xg = x @ w_ih.T + b                      # (B, T, 4H) — one MXU matmul
@@ -154,6 +156,17 @@ _blstm_pallas_remat = jax.checkpoint(_blstm_pallas, static_argnums=(2, 3))
 #: memory (residuals: x + the state sequences the kernel saves anyway).
 #: Opt-in until chip-verified (tools/check_bidi.py, LAYER VJP section).
 LAYER_VJP = os.environ.get('TSSEP_PALLAS_LAYER_VJP', '0') != '0'
+
+#: Conditioned fully-fused first post-net layer: form (xs * aux) in kernel
+#: VMEM instead of materializing the (B, S, T, F) tensor in HBM
+#: (kernels/blstm.py ``blstm_layer_fullfused_cond``).  Opt-in pending chip
+#: verification, like FULLFUSE.
+CONDFUSE = os.environ.get('TSSEP_PALLAS_CONDFUSE', '0') != '0'
+
+
+def cond_fuse_active(impl=None):
+    """True when the conditioned fused first-layer kernel should be used."""
+    return CONDFUSE and _resolve_impl(impl or DEFAULT_IMPL) == 'pallas'
 
 #: Fully-fused layer: the input projections run INSIDE the recurrence
 #: kernel (no xg tensors in HBM at all).  Opt-in until chip-verified;
@@ -243,6 +256,20 @@ class RNNP:
         if rank == 4:
             return h.reshape(lead + h.shape[1:])
         return h
+
+    def apply_conditioned(self, params, xs, aux, *, rng=None,
+                          training=False):
+        """Fused 'mul'-conditioned layer: equivalent to
+        ``apply(params, xs[:, None] * aux[:, :, None])`` but the
+        (B, S, T, F) conditioned tensor is formed block-wise in kernel
+        VMEM, never in HBM.  xs: (B, T, F); aux: (B, S, F) ->
+        (B, S, T, hdim).  Requires elayers == 1, bidirectional."""
+        assert self.elayers == 1 and self.bidirectional, (
+            self.elayers, self.typ)
+        from tssep_tpu.kernels import blstm as _kb
+        h = _kb.blstm_layer_fullfused_cond(params['lstm0'], xs, aux)
+        p = params['proj0']
+        return h @ p['weight'].T.astype(h.dtype) + p['bias'].astype(h.dtype)
 
     def num_params(self):
         scale = 2 if self.bidirectional else 1

@@ -201,6 +201,7 @@ class Model(Configurable):
                         raise
 
             for k in ('example_id', 'dataset', 'gender', 'auxInput', 'vad',
+                      'transcription', 'speaker_ids',
                       'framewise_embeddings', 'framewise_embeddings_stride'):
                 if k in ex:
                     r[k] = ex[k]
@@ -396,9 +397,20 @@ class Model(Configurable):
         name = self.enhancer.name
         sr = getattr(self.reader, 'sample_rate', 16000)
 
+        # The batch may be collated (leading batch dim) or a single raw
+        # example (test_run's strict snapshot pre-flight feeds whatever the
+        # pre-flight dataset yields): detect from the mask rank, fall back
+        # to the observation rank.
+        if out.mask is not None:
+            batched = np.asarray(out.mask).ndim == 5
+        elif 'observation' in ex:
+            batched = np.asarray(ex['observation']).ndim == 3
+        else:
+            batched = True
+
         def first(x):  # leading batch entry, host-side
             x = np.asarray(x)
-            return x[0] if x.ndim else x
+            return x[0] if (batched and x.ndim) else x
 
         if out.time_estimate is not None:
             est = first(out.time_estimate)

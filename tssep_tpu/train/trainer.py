@@ -85,10 +85,14 @@ class _ShardMapCaller:
         from tssep_tpu.dist.mesh import DATA_AXIS
         shard_map = jax.shard_map
         batch = args[self.n_state]
-        bspec = jax.tree_util.tree_map(
-            lambda x: (P(DATA_AXIS) if getattr(x, 'ndim', 0) >= 1 else P()),
-            batch)
-        cache_key = jax.tree_util.tree_structure(bspec)
+        flat, treedef = jax.tree_util.tree_flatten(batch)
+        specs = tuple(P(DATA_AXIS) if getattr(x, 'ndim', 0) >= 1 else P()
+                      for x in flat)
+        bspec = jax.tree_util.tree_unflatten(treedef, list(specs))
+        # Key on the derived specs, not just the tree structure: a later
+        # batch with identical structure but a leaf whose rank changed
+        # (0-d vs >=1-d) must not reuse stale in_specs.
+        cache_key = (treedef, specs)
         fn_c = self._cache.get(cache_key)
         if fn_c is None:
             in_specs = tuple([P()] * self.n_state) + (bspec, P())
@@ -111,6 +115,23 @@ def _host_fetch(x):
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
         from jax.experimental import multihost_utils
         return np.asarray(multihost_utils.process_allgather(x))
+    return np.asarray(x)
+
+
+def _local_fetch(x):
+    """Device value -> numpy holding only this host's addressable rows (in
+    global index order).  Unlike ``_host_fetch`` this is NOT a collective:
+    safe for host-local consumers (snapshots, per-example labeling) on a
+    pod where the global array spans non-addressable devices."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        by_index = {}  # dedupe: replicated arrays repeat the same index
+        for s in x.addressable_shards:
+            by_index.setdefault(
+                tuple(sl.start or 0 for sl in s.index), s)
+        shards = [by_index[k] for k in sorted(by_index)]
+        if len(shards) == 1:
+            return np.asarray(shards[0].data)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
     return np.asarray(x)
 
 
@@ -322,11 +343,14 @@ class Trainer(Configurable):
         return self._writer
 
     # ------------------------------------------------------------------
-    def _add_snapshots(self, arrays, summary, key):
+    def _add_snapshots(self, arrays, summary, key, strict=False):
         """Run one snapshot forward (forward + istft, no grad) on a batch
         and push audio/image payloads into ``summary`` (reference
-        ``model.py:692-752``).  Failures are loud-but-nonfatal: they are
-        recorded as a scalar, never silently dropped."""
+        ``model.py:692-752``).  Failures are loud-but-nonfatal in the
+        training loop (recorded as a scalar, never silently dropped);
+        ``strict=True`` (the test_run pre-flight) re-raises so a
+        permanently broken snapshot path fails at minute 0, not as a
+        counter nobody alerts on at hour 30."""
         if not self.create_snapshots or not hasattr(self.model,
                                                     'add_snapshots'):
             return
@@ -344,14 +368,18 @@ class Trainer(Configurable):
         try:
             if self.mesh is not None:
                 # Snapshots picture one example; run unsharded on the
-                # default device from host copies.
-                host = {k: np.asarray(v) if hasattr(v, 'shape') else v
+                # default device from host copies.  _local_fetch (not
+                # np.asarray): on a pod the batch spans non-addressable
+                # devices and a plain host copy would raise.
+                host = {k: _local_fetch(v) if hasattr(v, 'shape') else v
                         for k, v in arrays.items()}
                 out = self._snap_fn(jax.device_get(self.params), host, key)
             else:
                 out = self._snap_fn(self.params, arrays, key)
             model.add_snapshots(arrays, jax.device_get(out), summary)
         except Exception as e:  # noqa: BLE001 - observability must not kill training
+            if strict:
+                raise
             summary.add_scalar('snapshot_errors', 1.0)
             print(f'snapshot failed: {e!r}')
 
@@ -397,12 +425,18 @@ class Trainer(Configurable):
                 # overlay) for the first validation batch.
                 self._add_snapshots(arrays, summary, sub)
             loss_sum, aux = self._eval_fn(self.params, arrays, sub)
+            # Global gather for the mean: every host must agree on the
+            # validation loss (best-checkpoint decisions are collective).
             per_example = np.atleast_1d(_host_fetch(aux['per_example_loss']))
             losses.extend(per_example.tolist())
-            datasets = meta.get('dataset', ['validate'] * len(per_example))
+            # Per-dataset labeling uses only this host's rows:
+            # meta['dataset'] holds local example names, so zipping the
+            # globally gathered losses would mislabel them on a pod.
+            per_local = np.atleast_1d(_local_fetch(aux['per_example_loss']))
+            datasets = meta.get('dataset', ['validate'] * len(per_local))
             if isinstance(datasets, str):
-                datasets = [datasets] * len(per_example)
-            for ds_name, lv in zip(datasets, per_example):
+                datasets = [datasets] * len(per_local)
+            for ds_name, lv in zip(datasets, per_local):
                 summary.add_scalar(f'{ds_name}_{self.model.loss.name}', lv)
                 summary.add_histogram(
                     f'hist_{ds_name}_{self.model.loss.name}', lv)
@@ -452,6 +486,13 @@ class Trainer(Configurable):
                         assert np.isfinite(gn) and gn > 0, gn
                         rep.append((loss, gn))
                     else:
+                        if repetition == 0 and len(rep) == 2 \
+                                and self.create_snapshots:
+                            # Pre-flight the snapshot path strictly on the
+                            # first validation batch: a broken snapshot
+                            # must fail here, not degrade silently later.
+                            self._add_snapshots(arrays, ReviewSummary(),
+                                                sub, strict=True)
                         loss_sum, _aux = self._eval_fn(self.params, arrays, sub)
                         loss = float(loss_sum)
                         assert np.isfinite(loss), loss
