@@ -4,6 +4,10 @@ Usage: python tools/check_bidi.py
 """
 
 import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 os.environ.setdefault('TSSEP_LSTM_DTYPE', 'float32')
 

@@ -5,7 +5,11 @@ update timings of the jitted step — shows where the step time goes.
 """
 
 import os
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 os.environ.setdefault('TSSEP_LSTM_IMPL', 'pallas')
 os.environ.setdefault('TSSEP_LSTM_DTYPE', 'bfloat16')
