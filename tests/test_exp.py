@@ -120,6 +120,10 @@ def test_run_tsvad_tssep_cli(tmp_path):
     config_file.write_text(yaml.dump(config))
 
     env = dict(os.environ, JAX_PLATFORMS='cpu')
+    # hermetic even when the repo isn't pip-installed in this venv: the
+    # launcher subprocesses run with cwd=storage_dir
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    env['PYTHONPATH'] = repo_root + os.pathsep + env.get('PYTHONPATH', '')
 
     def patched_run(cmd, failure='raise', cwd=None):
         printable = cmd if isinstance(cmd, str) else ' '.join(map(str, cmd))

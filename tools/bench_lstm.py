@@ -40,10 +40,17 @@ def run_one():
 
     def bench(fn):
         float(fn(x))          # compile+warm
+        # dedup-defeating perturbation must survive bf16 rounding
+        # (bf16 eps ~8e-3: x + 1e-6 == x and the relay dedups the call)
+        import jax.numpy as jnp
+        xs = [(x.astype(jnp.float32) * (1 + 0.01 * (i + 1))
+               ).astype(x.dtype) for i in range(iters)]
+        for xi in xs:
+            xi.block_until_ready()
         t0 = time.perf_counter()
         for i in range(iters):
-            # vary input to defeat relay dedup
-            float(fn(x + 1e-6 * (i + 1)))
+            out = fn(xs[i])
+        float(out)
         return (time.perf_counter() - t0) / iters * 1000
 
     t_f = bench(lambda x: fwd(params, x))

@@ -53,41 +53,51 @@ def main():
     print(layer_time_report(model, params, arrays, iters=3))
 
     # whole-graph timings
-    def timed(tag, jfn, *args, iters=3):
-        out = jfn(*args)
+    def timed(tag, jfn, obs, iters=5):
+        out = jfn(obs)
         float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+        # Chained timing, ONE sync at the end: a per-iteration host sync
+        # adds a ~150 ms relay round trip to every sample.  Perturbations
+        # must survive bf16 rounding (eps ~8e-3) or the relay dedups the
+        # execution entirely.
+        per = [(obs.astype(jnp.float32) * (1 + 0.01 * (i + 1))
+                ).astype(obs.dtype) for i in range(iters)]
+        for p in per:
+            p.block_until_ready()
         t0 = time.perf_counter()
-        for i in range(iters):
-            a = [args[0] * (1 + 1e-6 * (i + 1))] + list(args[1:]) \
-                if hasattr(args[0], 'shape') else list(args)
-            out = jfn(*a)
-            float(jnp.sum(
-                jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
-        print(f'{tag}: {(time.perf_counter() - t0) / iters * 1000:.1f} ms')
+        for p in per:
+            out = jfn(p)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+        print(f'{tag}: {(time.perf_counter() - t0) / iters * 1000:.1f} ms '
+              f'(chained x{iters}, single sync)')
 
     key = jax.random.PRNGKey(1)
     obs = jnp.asarray(arrays['observation'])
+    rest = {k: jnp.asarray(v) if hasattr(v, 'shape') else v
+            for k, v in arrays.items() if k != 'observation'}
 
-    fwd = jax.jit(lambda o: model.loss_fn(
-        params, {**arrays, 'observation': o}, rng=key)[0])
-    timed('loss_fn fwd', fwd, obs)
+    # NOTE: batch/params must be ARGUMENTS, not closure constants — baked
+    # constants blow the remote-compile payload limit (HTTP 413 on relay).
+    fwd = jax.jit(lambda p, o, r: model.loss_fn(
+        p, {**r, 'observation': o}, rng=key)[0])
+    timed('loss_fn fwd', lambda o: fwd(params, o, rest), obs)
 
-    grad = jax.jit(lambda o: jax.grad(
-        lambda p: model.loss_fn(p, {**arrays, 'observation': o},
-                                rng=key)[0])(params))
-    timed('loss_fn fwd+bwd', grad, obs)
+    grad = jax.jit(lambda p, o, r: jax.grad(
+        lambda pp: model.loss_fn(pp, {**r, 'observation': o},
+                                 rng=key)[0])(p))
+    timed('loss_fn fwd+bwd', lambda o: grad(params, o, rest), obs)
 
     tx = Adam(gradient_clipping=10, lr=1e-3).make()
     opt_state = jax.jit(tx.init)(params)
 
-    def update(o, p, s):
+    def update(o, r, p, s):
         g = jax.grad(lambda pp: model.loss_fn(
-            pp, {**arrays, 'observation': o}, rng=key)[0])(p)
+            pp, {**r, 'observation': o}, rng=key)[0])(p)
         u, s = tx.update(g, s, p)
         return jax.tree_util.tree_map(lambda a, b: a + b, p, u)
 
     upd = jax.jit(update)
-    timed('full update', upd, obs, params, opt_state)
+    timed('full update', lambda o: upd(o, rest, params, opt_state), obs)
 
 
 if __name__ == '__main__':

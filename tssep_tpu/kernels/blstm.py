@@ -119,10 +119,11 @@ def _bwd_kernel(xg_ref, whh_ref, hprev_ref, cprev_ref, c_ref, dhs_ref,
             do * o * (1 - o),
         ], axis=1)
 
+        dgm = _mm_cast(dgates, whh_ref)
         dxg_ref[k] = dgates.astype(dxg_ref.dtype)
-        dw_scr[:] += jnp.dot(h_prev.T.astype(dgates.dtype), dgates,
+        dw_scr[:] += jnp.dot(h_prev.T.astype(dgm.dtype), dgm,
                              preferred_element_type=jnp.float32)
-        dh_scr[:] = jnp.dot(dgates, whh_ref[:].T.astype(dgates.dtype),
+        dh_scr[:] = jnp.dot(dgm, whh_ref[:].T.astype(dgm.dtype),
                             preferred_element_type=jnp.float32)
         dc_scr[:] = dc * f
         return 0
@@ -166,6 +167,21 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
 #: Interpret mode: run the kernels through the Pallas interpreter (works on
 #: CPU) — for testing kernel logic without TPU hardware.
 INTERPRET = _os.environ.get('TSSEP_PALLAS_INTERPRET', '0') != '0'
+
+#: Run the backward-pass matmuls on storage-dtype (bf16) operands with
+#: f32 accumulation instead of full f32.  Chip-measured NEUTRAL on v5e
+#: (114.5 vs 114.8 ms per folded layer fwd+bwd — Mosaic's f32 matmul
+#: path is not the bottleneck there), so the numerically-tighter f32
+#: path stays the default; the knob exists for TPU generations where
+#: f32 MXU throughput is the constraint.
+BWD_MM_STORAGE = _os.environ.get('TSSEP_PALLAS_BWD_BF16', '0') != '0'
+
+
+def _mm_cast(dgates, ref):
+    """Backward-matmul operand dtype: storage dtype unless BWD_F32."""
+    if BWD_MM_STORAGE:
+        return dgates.astype(ref.dtype)
+    return dgates
 
 #: Per-grid-step batch block: bounds the kernel's VMEM working set (the
 #: batch axis is embarrassingly parallel; t stays the inner, sequential
@@ -451,10 +467,11 @@ def _bi_bwd_kernel(xgf_ref, xgr_ref, wf_ref, wr_ref,
             do * o * (1 - o),
         ], axis=1)
 
+        dgm = _mm_cast(dgates, w_ref)
         dxg_ref[k] = dgates.astype(dxg_ref.dtype)
-        dw_scr[:] += jnp.dot(h_prev.T.astype(dgates.dtype), dgates,
+        dw_scr[:] += jnp.dot(h_prev.T.astype(dgm.dtype), dgm,
                              preferred_element_type=jnp.float32)
-        dh_scr[:] = jnp.dot(dgates, w_ref[:].T.astype(dgates.dtype),
+        dh_scr[:] = jnp.dot(dgm, w_ref[:].T.astype(dgm.dtype),
                             preferred_element_type=jnp.float32)
         dc_scr[:] = dc * f
 
@@ -873,15 +890,16 @@ def _ff_bwd_kernel(xs_ref, xr_ref, wihf_ref, wihr_ref, bf_ref, br_ref,
             do * o * (1 - o),
         ], axis=1)
 
+        dgm = _mm_cast(dgates, wih_ref)
         dx_ref[k] = jnp.dot(
-            dgates, wih_ref[:].T.astype(dgates.dtype),
+            dgm, wih_ref[:].T.astype(dgm.dtype),
             preferred_element_type=jnp.float32).astype(dx_ref.dtype)
-        dwih_scr[:] += jnp.dot(x_t.T.astype(dgates.dtype), dgates,
+        dwih_scr[:] += jnp.dot(x_t.T.astype(dgm.dtype), dgm,
                                preferred_element_type=jnp.float32)
         db_scr[:] += jnp.sum(dgates, axis=0, keepdims=True)
-        dw_scr[:] += jnp.dot(h_prev.T.astype(dgates.dtype), dgates,
+        dw_scr[:] += jnp.dot(h_prev.T.astype(dgm.dtype), dgm,
                              preferred_element_type=jnp.float32)
-        dh_scr[:] = jnp.dot(dgates, w_ref[:].T.astype(dgates.dtype),
+        dh_scr[:] = jnp.dot(dgm, w_ref[:].T.astype(dgm.dtype),
                             preferred_element_type=jnp.float32)
         dc_scr[:] = dc * f
 
@@ -1092,9 +1110,16 @@ blstm_layer_fullfused.defvjp(_ff_layer_fwd, _ff_layer_bwd)
 # the conditioned tensor never exists in HBM (VERDICT r2 item 2 / SURVEY
 # §2.5 "embedding-broadcast conditioning path").
 #
-# Layout: the folded batch is b-major (row = b * S + s); a grid batch block
-# covers bbB = BB // S real batch rows, i.e. whole speaker groups, so the
-# xs block is the same bbB rows for every speaker.
+# Layout: a grid batch block covers bbB = BB // S real batch rows (whole
+# speaker groups), so the xs block is the same bbB rows for every speaker.
+# INSIDE the kernel the folded rows are s-major within the block
+# (row = s * bbB + b): the conditioned rows are then built from purely 2D
+# per-speaker multiplies + an axis-0 concatenate — Mosaic rejects the
+# 3D-broadcast formulation (``x_t[:, None, :] * aux``) at flagship shapes
+# ("infer-vector-layout: unsupported shape cast").  The callers translate
+# between this kernel layout and the b-major (B, S, ...) user layout with
+# one XLA transpose (the same cost class as the time-major swap the
+# other kernels already pay).
 
 def _ffc_fwd_kernel(xs_ref, xr_ref, aux_ref, wihf_ref, wihr_ref, bf_ref,
                     br_ref, wf_ref, wr_ref,
@@ -1110,13 +1135,10 @@ def _ffc_fwd_kernel(xs_ref, xr_ref, aux_ref, wihf_ref, wihr_ref, bf_ref,
         hr_scr[:] = jnp.zeros_like(hr_scr)
         cr_scr[:] = jnp.zeros_like(cr_scr)
 
-    aux = aux_ref[:]                                  # (bbB, S, F)
-    bb_b, s, feat = aux.shape
-
     def cond(x_t):
-        """(bbB, F) -> folded conditioned rows (bbB*S, F)."""
-        prod = x_t[:, None, :] * aux                  # (bbB, S, F)
-        return prod.reshape(bb_b * s, feat)
+        """(bbB, F) -> folded conditioned rows (S*bbB, F), s-major."""
+        return jnp.concatenate(
+            [x_t * aux_ref[i] for i in range(speakers)], axis=0)
 
     def cell(x_t, b_ref, wih_ref, whh_ref, h, c):
         gates = (jnp.dot(cond(x_t), wih_ref[:],
@@ -1170,14 +1192,14 @@ def _ffc_bwd_kernel(xs_ref, xr_ref, aux_ref, wihf_ref, wihr_ref, bf_ref,
                     daux_scr):
             scr[:] = jnp.zeros_like(scr)
 
-    aux = aux_ref[:]                                  # (bbB, S, F)
-    bb_b, s, feat = aux.shape
+    bb_b = aux_ref.shape[1]                           # aux_ref: (S, bbB, F)
 
     def one_direction(k, x_ref, b_ref, wih_ref, w_ref, hp_ref, cp_ref,
                       c_ref, dhs_ref, dx_ref, dh_scr, dc_scr, dw_scr,
                       dwih_scr, db_scr):
         x_t = x_ref[k]                                # (bbB, F)
-        cond_x = (x_t[:, None, :] * aux).reshape(bb_b * s, feat)
+        cond_x = jnp.concatenate(
+            [x_t * aux_ref[i] for i in range(speakers)], axis=0)
         h_prev = hp_ref[k]
         c_prev = cp_ref[k].astype(jnp.float32)
         c_t = c_ref[k].astype(jnp.float32)
@@ -1206,20 +1228,26 @@ def _ffc_bwd_kernel(xs_ref, xr_ref, aux_ref, wihf_ref, wihr_ref, bf_ref,
             do * o * (1 - o),
         ], axis=1)
 
-        # d(conditioned rows) -> split into d(xs) and d(aux)
-        dcond = jnp.dot(dgates, wih_ref[:].T.astype(dgates.dtype),
+        # d(conditioned rows) -> split into d(xs) and d(aux); all 2D
+        # per-speaker static slices (s-major rows), no 3D broadcasts.
+        dgm = _mm_cast(dgates, wih_ref)
+        dcond = jnp.dot(dgm, wih_ref[:].T.astype(dgm.dtype),
                         preferred_element_type=jnp.float32)
-        dcond = dcond.reshape(bb_b, s, feat)
-        daux_scr[:] += dcond * x_t[:, None, :].astype(jnp.float32)
-        dx_ref[k] = jnp.sum(
-            dcond * aux.astype(jnp.float32), axis=1).astype(dx_ref.dtype)
+        x32 = x_t.astype(jnp.float32)
+        dx = None
+        for i in range(speakers):
+            dci = dcond[i * bb_b:(i + 1) * bb_b]      # (bbB, F)
+            daux_scr[i] += dci * x32
+            term = dci * aux_ref[i].astype(jnp.float32)
+            dx = term if dx is None else dx + term
+        dx_ref[k] = dx.astype(dx_ref.dtype)
 
-        dwih_scr[:] += jnp.dot(cond_x.T.astype(dgates.dtype), dgates,
+        dwih_scr[:] += jnp.dot(cond_x.T.astype(dgm.dtype), dgm,
                                preferred_element_type=jnp.float32)
         db_scr[:] += jnp.sum(dgates, axis=0, keepdims=True)
-        dw_scr[:] += jnp.dot(h_prev.T.astype(dgates.dtype), dgates,
+        dw_scr[:] += jnp.dot(h_prev.T.astype(dgm.dtype), dgm,
                              preferred_element_type=jnp.float32)
-        dh_scr[:] = jnp.dot(dgates, w_ref[:].T.astype(dgates.dtype),
+        dh_scr[:] = jnp.dot(dgm, w_ref[:].T.astype(dgm.dtype),
                             preferred_element_type=jnp.float32)
         dc_scr[:] = dc * f
 
@@ -1277,7 +1305,10 @@ def _ffc_prep(xs, aux, params):
     xt, real_t = _pad_time_multiple(xt, TIME_BLOCK)
     xr, _ = _pad_time_multiple(xr, TIME_BLOCK)
     pad_b = xt.shape[1] - real_b
-    aux_p = jnp.pad(aux, [(0, pad_b), (0, 0), (0, 0)]).astype(STORAGE_DTYPE)
+    # kernel layout: speaker-major (S, b_pad, F) so the kernel reads
+    # per-speaker 2D slices
+    aux_p = jnp.pad(aux, [(0, pad_b), (0, 0), (0, 0)]).astype(
+        STORAGE_DTYPE).transpose(1, 0, 2)
 
     def w_of(suffix):
         wih = params['weight_ih_l0' + suffix].T.astype(STORAGE_DTYPE)
@@ -1294,7 +1325,7 @@ def _ffc_prep(xs, aux, params):
 
 def _ffc_fwd_impl(xt, xr, aux, wihf, wihr, bf, br, wf, wr, bb_b):
     seq_len, b_pad, feat = xt.shape
-    s = aux.shape[1]
+    s = aux.shape[0]                                  # aux: (S, b_pad, F)
     hidden = wf.shape[0]
     gh = 4 * hidden
     bb = bb_b * s
@@ -1303,7 +1334,7 @@ def _ffc_fwd_impl(xt, xr, aux, wihf, wihr, bf, br, wf, wr, bb_b):
     ntb = seq_len // k
     x_s = pl.BlockSpec((k, bb_b, feat), lambda i, t: (t, i, 0),
                        memory_space=pltpu.VMEM)
-    aux_s = pl.BlockSpec((bb_b, s, feat), lambda i, t: (i, 0, 0),
+    aux_s = pl.BlockSpec((s, bb_b, feat), lambda i, t: (0, i, 0),
                          memory_space=pltpu.VMEM)
     wih_s = pl.BlockSpec((feat, gh), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM)
@@ -1327,9 +1358,33 @@ def _ffc_fwd_impl(xt, xr, aux, wihf, wihr, bf, br, wf, wr, bb_b):
     )(xt, xr, aux, wihf, wihr, bf, br, wf, wr)
 
 
-def _ffc_out(hsf, hsr, B, S, real_t, dtype):
-    """Folded (T, B_pad*S, H) x 2 -> (B, S, T, 2H)."""
-    out = _bidi_out(hsf, hsr, B * S, real_t, dtype)     # (B*S, T, 2H)
+def _ffc_unfold(h, bb_b, s, real_b):
+    """Kernel layout (T, b_pad*S, H) — rows s-major within each bb_b-row
+    batch block — -> b-major (real_b*S, T, H) (row = b*S + s)."""
+    t, rows, hid = h.shape
+    nb = rows // (s * bb_b)
+    h = h.reshape(t, nb, s, bb_b, hid)
+    h = jnp.transpose(h, (1, 3, 2, 0, 4))               # (nb, bbB, S, T, H)
+    return h.reshape(nb * bb_b * s, t, hid)[:real_b * s]
+
+
+def _ffc_fold_grad(d, bb_b, s, b_pad, seq_len):
+    """b-major (T, B*S, H) cotangent (real time) -> padded kernel layout
+    (seq_len, b_pad*S, H), s-major within batch blocks, f32."""
+    t, bs, hid = d.shape
+    d = jnp.pad(d.astype(jnp.float32),
+                [(0, seq_len - t), (0, b_pad * s - bs), (0, 0)])
+    nb = b_pad // bb_b
+    d = d.reshape(seq_len, nb, bb_b, s, hid)
+    return jnp.transpose(d, (0, 1, 3, 2, 4)).reshape(
+        seq_len, b_pad * s, hid)
+
+
+def _ffc_out(hsf, hsr, B, S, real_t, dtype, bb_b):
+    """Folded kernel-layout (T, B_pad*S, H) x 2 -> (B, S, T, 2H)."""
+    f = _ffc_unfold(hsf[:real_t], bb_b, S, B)
+    r = _ffc_unfold(jnp.flip(hsr[:real_t], axis=0), bb_b, S, B)
+    out = jnp.concatenate([f, r], axis=-1).astype(dtype)  # (B*S, T, 2H)
     return out.reshape(B, S, out.shape[-2], out.shape[-1])
 
 
@@ -1345,7 +1400,8 @@ def blstm_layer_fullfused_cond(params, xs, aux):
      bb_b) = _ffc_prep(xs, aux, params)
     hsf, hsr, _, _ = _ffc_fwd_impl(xt, xr, aux_p, wihf, wihr, bf, br,
                                    wf, wr, bb_b)
-    return _ffc_out(hsf, hsr, xs.shape[0], aux.shape[1], real_t, xs.dtype)
+    return _ffc_out(hsf, hsr, xs.shape[0], aux.shape[1], real_t, xs.dtype,
+                    bb_b)
 
 
 def _ffc_layer_fwd(params, xs, aux):
@@ -1353,7 +1409,8 @@ def _ffc_layer_fwd(params, xs, aux):
      bb_b) = _ffc_prep(xs, aux, params)
     hsf, hsr, csf, csr = _ffc_fwd_impl(xt, xr, aux_p, wihf, wihr, bf, br,
                                        wf, wr, bb_b)
-    out = _ffc_out(hsf, hsr, xs.shape[0], aux.shape[1], real_t, xs.dtype)
+    out = _ffc_out(hsf, hsr, xs.shape[0], aux.shape[1], real_t, xs.dtype,
+                   bb_b)
     return out, (params, xs, aux, hsf, hsr, csf, csr, real_t, bb_b)
 
 
@@ -1369,19 +1426,13 @@ def _ffc_layer_bwd(residuals, dout):
     seq_len, b_pad = xt.shape[0], xt.shape[1]
     bb = bb_b * S
 
-    # dout: (B, S, T, 2H) -> folded time-major per direction, padded
+    # dout: (B, S, T, 2H) -> padded time-major kernel layout (s-major
+    # within batch blocks) per direction; reverse is time-flipped BEFORE
+    # the time padding (matching the xr convention).
     dfold = jnp.swapaxes(dout.reshape(B * S, T, 2 * hidden), 0, 1)
-    dhsf = dfold[..., :hidden]
-    dhsr = jnp.flip(dfold[..., hidden:], axis=0)
-    pad_t = seq_len - real_t
-    pad_bs = b_pad * S - B * S
-
-    def pad_ct(d):
-        return jnp.pad(d.astype(jnp.float32),
-                       [(0, pad_t), (0, pad_bs), (0, 0)])
-
-    dhsf = pad_ct(dhsf)
-    dhsr = pad_ct(dhsr)
+    dhsf = _ffc_fold_grad(dfold[..., :hidden], bb_b, S, b_pad, seq_len)
+    dhsr = _ffc_fold_grad(jnp.flip(dfold[..., hidden:], axis=0),
+                          bb_b, S, b_pad, seq_len)
 
     def prevs(hs, cs):
         zeros = jnp.zeros((1,) + hs.shape[1:], hs.dtype)
@@ -1396,7 +1447,7 @@ def _ffc_layer_bwd(residuals, dout):
     ntb = seq_len // k
     rev = lambda i, t: ((ntb - 1 - t), i, 0)  # noqa: E731
     x_s = pl.BlockSpec((k, bb_b, feat), rev, memory_space=pltpu.VMEM)
-    aux_s = pl.BlockSpec((bb_b, S, feat), lambda i, t: (i, 0, 0),
+    aux_s = pl.BlockSpec((S, bb_b, feat), lambda i, t: (0, i, 0),
                          memory_space=pltpu.VMEM)
     wih_s = pl.BlockSpec((feat, gh), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM)
@@ -1416,7 +1467,7 @@ def _ffc_layer_bwd(residuals, dout):
         out_shape=[
             jax.ShapeDtypeStruct((seq_len, b_pad, feat), jnp.float32),
             jax.ShapeDtypeStruct((seq_len, b_pad, feat), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, S, feat), jnp.float32),
+            jax.ShapeDtypeStruct((S, b_pad, feat), jnp.float32),
             jax.ShapeDtypeStruct((feat, gh), jnp.float32),
             jax.ShapeDtypeStruct((feat, gh), jnp.float32),
             jax.ShapeDtypeStruct((1, gh), jnp.float32),
@@ -1435,7 +1486,7 @@ def _ffc_layer_bwd(residuals, dout):
             pltpu.VMEM((hidden, gh), jnp.float32),
             pltpu.VMEM((feat, gh), jnp.float32),
             pltpu.VMEM((1, gh), jnp.float32),
-            pltpu.VMEM((bb_b, S, feat), jnp.float32),
+            pltpu.VMEM((S, bb_b, feat), jnp.float32),
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=INTERPRET,
@@ -1446,7 +1497,7 @@ def _ffc_layer_bwd(residuals, dout):
     dxa = dxa[:real_t, :B]
     dxb = jnp.flip(dxb[:real_t], axis=0)[:, :B]
     dx = jnp.swapaxes(dxa + dxb, 0, 1).astype(xs.dtype)
-    daux = daux[:B].astype(aux.dtype)
+    daux = jnp.swapaxes(daux, 0, 1)[:B].astype(aux.dtype)
 
     d_params = {}
     for suffix, dwih, db, dwhh in (('', dwihf, dbf, dwhf),

@@ -376,6 +376,7 @@ class MaskEstimator(Configurable):
             h = h.reshape((B * trials, S) + h.shape[2:])
 
         # 6. post net
+        n_folded = self.layers - 1 if self.ts_vad else self.layers
         for l, birnn in enumerate(self.birnns):
             if l < first_layer:
                 continue
@@ -384,8 +385,15 @@ class MaskEstimator(Configurable):
                 h = jnp.swapaxes(h, 1, 2)                  # (B', T, S, F)
                 h = h.reshape(h.shape[:2] + (1, -1))       # (B', T, 1, S*F)
                 h = jnp.swapaxes(h, 1, 2)                  # (B', 1, T, S*F)
+            # Trade HBM for the remat forward re-run on the LAST
+            # no_remat_folded folded layers (their residuals have the
+            # shortest lifetime: the backward reaches them first).
+            remat = None
+            if (_rnnp_mod.NO_REMAT_FOLDED > 0 and l < n_folded
+                    and l >= n_folded - _rnnp_mod.NO_REMAT_FOLDED):
+                remat = False
             h = birnn.apply(params['post_net'][f'birnn{l}'], h, rng=rng,
-                            training=training)
+                            training=training, remat=remat)
             if l < self.layers - 1:
                 if training and self.dropout > 0 and rng is not None:
                     rng, sub = jax.random.split(rng)

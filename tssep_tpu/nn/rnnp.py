@@ -150,6 +150,20 @@ def _blstm_pallas(params, x, hidden_size, bidirectional):
 
 _blstm_pallas_remat = jax.checkpoint(_blstm_pallas, static_argnums=(2, 3))
 
+
+def _blstm_fullfused(params, x, hidden_size, bidirectional):
+    from tssep_tpu.kernels.blstm import blstm_layer_fullfused
+    return blstm_layer_fullfused(params, x)
+
+
+#: Remat'd fully-fused layer: without this, every folded (B*S) layer keeps
+#: its hs/cs residuals (~1.5 GB bf16 at flagship dims) alive until its
+#: backward runs — chip-measured HBM OOM at batch 256.  Under checkpoint
+#: the backward re-runs the (cheap, xg-free) fused forward instead, so the
+#: residuals are transient per layer.
+_blstm_fullfused_remat = jax.checkpoint(_blstm_fullfused,
+                                        static_argnums=(2, 3))
+
 #: Layer-level custom VJP for the bidirectional Pallas path: backward
 #: recomputes only the input projections (one parallel matmul) instead of
 #: remat's full forward recurrence re-run — no-remat speed at near-remat
@@ -169,9 +183,28 @@ def cond_fuse_active(impl=None):
     return CONDFUSE and _resolve_impl(impl or DEFAULT_IMPL) == 'pallas'
 
 #: Fully-fused layer: the input projections run INSIDE the recurrence
-#: kernel (no xg tensors in HBM at all).  Opt-in until chip-verified;
-#: logic validated by the interpreter tests (tests/test_kernels.py).
-FULLFUSE = os.environ.get('TSSEP_PALLAS_FULLFUSE', '0') != '0'
+#: kernel (no xg tensors in HBM at all).  Chip-verified round 3
+#: (tools/check_bidi.py numerics; bench: 2215 vs 2052 audio-s/s for the
+#: interleaved-bidi path at the flagship config) — DEFAULT ON.
+FULLFUSE = os.environ.get('TSSEP_PALLAS_FULLFUSE', '1') != '0'
+
+#: Widest input feature dim the fully-fused kernel accepts.  The backward
+#: kernel keeps W_ih (I, 4H) plus an f32 dW_ih accumulator per direction
+#: resident in VMEM; for the ts_vad stacked layer (I = S*projs = 2560 on
+#: the flagship) that stack exceeds the chip's scoped-vmem limit (measured
+#: 102.3M vs the 100M default on v5e).  Layers wider than the cap fall
+#: back to the layer-VJP / interleaved-bidi path, whose xg for the fat
+#: stacked layer is small (it has batch B, not B*S).
+FULLFUSE_MAX_INPUT = int(os.environ.get('TSSEP_PALLAS_FULLFUSE_MAX_INPUT',
+                                        '2048'))
+
+#: Number of FOLDED (B*S-batch) post-net layers to run WITHOUT remat,
+#: counted from the last folded layer backwards — each one trades
+#: ~1.5 GB HBM (hs/cs residuals at flagship dims) for skipping the remat
+#: forward re-run (~27 ms/layer chip-measured).  0 = remat everything.
+#: Default 2: chip-benched 2314 vs 2215 audio-s/s at the flagship
+#: config (batch 256 fits: residuals +3.1 GB).
+NO_REMAT_FOLDED = int(os.environ.get('TSSEP_NO_REMAT_FOLDED', '2'))
 
 
 def blstm_apply(params, x, *, hidden_size: int, bidirectional=True,
@@ -186,10 +219,15 @@ def blstm_apply(params, x, *, hidden_size: int, bidirectional=True,
         impl = DEFAULT_IMPL
     impl = _resolve_impl(impl)
     if impl == 'pallas':
-        if bidirectional and FULLFUSE:
-            from tssep_tpu.kernels import blstm as _kb
-            return _kb.blstm_layer_fullfused(params, x)
-        if bidirectional and LAYER_VJP:
+        if (bidirectional and FULLFUSE
+                and x.shape[-1] <= FULLFUSE_MAX_INPUT):
+            fn = _blstm_fullfused_remat if remat else _blstm_fullfused
+            return fn(params, x, hidden_size, bidirectional)
+        if bidirectional and (LAYER_VJP or FULLFUSE):
+            # Wide layers (> FULLFUSE_MAX_INPUT, i.e. the ts_vad stacked
+            # layer with batch B, not B*S): projection-recompute VJP
+            # without remat — its residuals are cheap at batch B and the
+            # backward skips the forward re-run entirely.
             from tssep_tpu.kernels import blstm as _kb
             if _kb.BIDI:
                 return _kb.blstm_layer_fused(params, x)
@@ -226,7 +264,7 @@ class RNNP:
                 keys[2 * i + 1], scale * self.cdim, self.hdim)
         return params
 
-    def apply(self, params, x, *, rng=None, training=False):
+    def apply(self, params, x, *, rng=None, training=False, remat=None):
         """x: (..., T, idim) with rank 2, 3 or 4 (batch [, speaker], time, feat)."""
         rank = x.ndim
         lead = x.shape[:-2]
@@ -241,7 +279,7 @@ class RNNP:
 
         for i in range(self.elayers):
             h = blstm_apply(params[f'lstm{i}'], h, hidden_size=self.cdim,
-                            bidirectional=self.bidirectional)
+                            bidirectional=self.bidirectional, remat=remat)
             p = params[f'proj{i}']
             h = h @ p['weight'].T.astype(h.dtype) + p['bias'].astype(h.dtype)
             if i < self.elayers - 1:
@@ -267,7 +305,13 @@ class RNNP:
         assert self.elayers == 1 and self.bidirectional, (
             self.elayers, self.typ)
         from tssep_tpu.kernels import blstm as _kb
-        h = _kb.blstm_layer_fullfused_cond(params['lstm0'], xs, aux)
+        fn = _kb.blstm_layer_fullfused_cond
+        if DEFAULT_REMAT:
+            # without remat the layer's hs/cs residuals (~1.5 GB bf16 at
+            # flagship dims) stay live until its backward — chip-measured
+            # HBM OOM; checkpoint re-runs the cheap fused forward instead
+            fn = jax.checkpoint(fn)
+        h = fn(params['lstm0'], xs, aux)
         p = params['proj0']
         return h @ p['weight'].T.astype(h.dtype) + p['bias'].astype(h.dtype)
 

@@ -135,6 +135,20 @@ def _local_fetch(x):
     return np.asarray(x)
 
 
+def _fetch_complex_safe(tree):
+    """Tree device->host fetch that splits complex leaves into re/im
+    transfers: the axon-relay TPU runtime's D2H path raises UNIMPLEMENTED
+    for complex64 (chip-verified round 3), while real transfers work."""
+    def one(x):
+        if not hasattr(x, 'dtype'):
+            return x
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            return (np.asarray(jnp.real(x))
+                    + 1j * np.asarray(jnp.imag(x)))
+        return np.asarray(x)
+    return jax.tree_util.tree_map(one, tree)
+
+
 def _array_part(ex):
     """Split an example dict into (jit-able arrays, host-only meta)."""
     arrays, meta = {}, {}
@@ -376,7 +390,7 @@ class Trainer(Configurable):
                 out = self._snap_fn(jax.device_get(self.params), host, key)
             else:
                 out = self._snap_fn(self.params, arrays, key)
-            model.add_snapshots(arrays, jax.device_get(out), summary)
+            model.add_snapshots(arrays, _fetch_complex_safe(out), summary)
         except Exception as e:  # noqa: BLE001 - observability must not kill training
             if strict:
                 raise
@@ -641,7 +655,21 @@ class Trainer(Configurable):
         if last_saved != self.iteration:
             self.save()
             ckpt_lib.wait_for_pending()
+        self.close()
         return self.iteration
+
+    def close(self):
+        """Release host-side resources (tfevents writer thread + queue
+        fds).  Without this every Trainer leaks a tensorboardX event
+        writer — enough accumulated leaks abort XLA's CPU compiler
+        (thread/fd exhaustion; reproduced at ~190 trainers in one
+        process).  Idempotent; the writer reopens lazily (append mode)
+        if training resumes on the same Trainer."""
+        if self._writer is not None:
+            try:
+                self._writer.close()
+            finally:
+                self._writer = None
 
 
 class profile_trace:
