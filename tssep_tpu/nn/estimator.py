@@ -121,6 +121,15 @@ class AuxNet(Configurable):
 COMPUTE_DTYPE = {'float32': None, 'bfloat16': 'bfloat16'}[
     os.environ.get('TSSEP_COMPUTE_DTYPE', 'float32')]
 
+#: Dtype of the head rearrange + mask/logit outputs.  The (B, S, M, T, F)
+#: head tensors at flagship dims are ~1.3 GB EACH in f32 and go through
+#: two transposes (reshape_head) plus the loss — the single biggest
+#: XLA-glue traffic item in the step HLO (tools/analyze_hlo.py).  bf16
+#: halves that; losses upcast their final reductions.  Opt-in
+#: (TSSEP_HEAD_BF16=1) pending accuracy/throughput evaluation.
+HEAD_DTYPE = (jnp.bfloat16 if os.environ.get('TSSEP_HEAD_BF16', '0') != '0'
+              else jnp.float32)
+
 
 def _permutation_trial_indices(speakers: int, trials: int):
     """Cyclic-shift speaker index expansion + its inverse (static numpy)."""
@@ -259,7 +268,7 @@ class MaskEstimator(Configurable):
         """Head rearrange: post-net linear output -> (B', S, nmask, T, Fh)
         (both head layouts of reference ``net.py:629-661``; the 't'
         resolution broadcasts per-frame scalars over frequency)."""
-        logit = logit.astype(jnp.float32)
+        logit = logit.astype(HEAD_DTYPE)
         M = self.nmask
         if self.output_resolution == 'tf':
             Fh = self.odim + int(self.explicit_vad)

@@ -290,6 +290,13 @@ class STFT:
         frames = S.shape[-2]
         icos_m, isin_m = _irdft_matrices(self.size, self.window_length)
         re, im = jnp.real(S), jnp.imag(S)
+        if _HEAD_BF16:
+            # Training-loss path (TSSEP_HEAD_BF16): the per-speaker
+            # (B, S, T, window) synthesis segments are the largest
+            # tensors in the step — bf16 halves their HBM traffic; the
+            # loss upcasts its reductions.  Eval synthesis uses the
+            # numpy path and is unaffected.
+            re, im = re.astype(jnp.bfloat16), im.astype(jnp.bfloat16)
         dtype = re.dtype
         segs = (_mm(re, jnp.asarray(icos_m, dtype))
                 + _mm(im, jnp.asarray(isin_m, dtype)))
@@ -306,6 +313,9 @@ import os as _os
 #: (bit-accurate vs numpy to ~1e-7, the parity default); 'high' = 3 passes;
 #: 'default' = native bf16 (fastest; fine for training — the eval path is
 #: numpy/f64 regardless).
+#: See tssep_tpu.nn.estimator.HEAD_DTYPE — bf16 head/loss path (opt-in).
+_HEAD_BF16 = _os.environ.get('TSSEP_HEAD_BF16', '0') != '0'
+
 _DFT_PRECISION = {
     'highest': jax.lax.Precision.HIGHEST,
     'high': jax.lax.Precision.HIGH,

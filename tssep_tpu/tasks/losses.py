@@ -108,7 +108,11 @@ def masked_time_stats(elementwise, sample_mask):
 
 class TimeDomain(Loss):
     def from_ex_out(self, ex, out, model, summary=None):
-        estimate = out.time_estimate
+        # Upcast inside the loss: under TSSEP_HEAD_BF16 the estimate
+        # arrives bf16; the difference/abs math must accumulate f32.
+        # (XLA fuses the convert into the elementwise chain — no extra
+        # HBM materialization.)
+        estimate = out.time_estimate.astype(jnp.float32)
         target = ex[self.target]
         mask = ex.get('_sample_mask')
         if mask is not None and not self.pit:
