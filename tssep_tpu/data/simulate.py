@@ -85,6 +85,14 @@ class MeetingSimulator:
     reverb_taps: int = 0           # extra delayed/decayed copies per channel
     embedding_kind: str = 'mel'    # 'mel' (d-vector-lite) | 'gate' (spectral)
     seed: int = 0
+    #: Size of a FIXED speaker-identity pool shared across simulator
+    #: instances (independent of ``seed``): each meeting draws its
+    #: speakers from the pool, so train/eval splits share voices — the
+    #: closed-speaker-set condition of LibriCSS-style evaluation (the
+    #: reference evaluates enrolled, known speakers; reference
+    #: tssep/data.py:58-146 consumes precomputed per-speaker i-vectors).
+    #: 0 = open set: every meeting gets fresh random voices.
+    speaker_pool: int = 0
 
     def __post_init__(self):
         self.embedder = SpeakerEmbedder(self.aux_size, self.sample_rate,
@@ -133,8 +141,17 @@ class MeetingSimulator:
 
         # log-uniform f0 spread + per-speaker timbre -> discriminable
         # spectral fingerprints (like distinct voices)
-        f0s = np.exp(rng.uniform(np.log(90), np.log(900), size=s))
-        timbres = rng.randint(0, 2 ** 31, size=s)
+        if self.speaker_pool:
+            ids = rng.choice(self.speaker_pool, size=s,
+                             replace=self.speaker_pool < s)
+            pool = [np.random.RandomState(911_000_003 + int(i))
+                    for i in ids]
+            f0s = np.array([np.exp(pr.uniform(np.log(90), np.log(900)))
+                            for pr in pool])
+            timbres = np.array([pr.randint(0, 2 ** 31) for pr in pool])
+        else:
+            f0s = np.exp(rng.uniform(np.log(90), np.log(900), size=s))
+            timbres = rng.randint(0, 2 ** 31, size=s)
         sources = np.stack([
             self._speaker_source(rng, num_samples, f0, int(ts))
             for f0, ts in zip(f0s, timbres)])                # (S, T)

@@ -70,7 +70,7 @@ def _config(work_dir, shards, stage, iters, batch, aux_size=64,
 
 def main(work_dir='egs/simulated', train_examples=32, eval_examples=4,
          tsvad_iters=800, tssep_iters=800, batch=8, aux_size=513,
-         duration=5.0, num_channels=1, reverb_taps=0):
+         duration=5.0, num_channels=1, reverb_taps=0, speaker_pool=0):
     from tssep_tpu.config.configurable import from_config
     from tssep_tpu.data.simulate import MeetingSimulator, simulate_corpus
     from tssep_tpu.eval.run import evaluate
@@ -92,7 +92,7 @@ def main(work_dir='egs/simulated', train_examples=32, eval_examples=4,
             simulate_corpus(path, n, MeetingSimulator(
                 duration=dur, aux_size=aux_size, seed=seed,
                 embedding_kind='gate', num_channels=num_channels,
-                reverb_taps=reverb_taps))
+                reverb_taps=reverb_taps, speaker_pool=speaker_pool))
         shards[split] = path
 
     # 2. stage 1: TS-VAD

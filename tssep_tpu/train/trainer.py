@@ -586,8 +586,26 @@ class Trainer(Configurable):
 
         def drain_pending():
             nonlocal pending
-            for step_loss, per, datasets in pending:
-                per = _host_fetch(per)
+            if not pending:
+                return
+            # Batch the whole window into two host transfers: on relay-
+            # style runtimes every device->host fetch is a full round
+            # trip, so fetching each step's loss + per-example vector
+            # individually costs O(window) round trips (~2 x trigger
+            # interval transfers per summary).
+            losses_h = pers_h = None
+            try:
+                losses_h = np.asarray(_host_fetch(
+                    jnp.stack([p[0] for p in pending])))
+                pers_h = np.asarray(_host_fetch(
+                    jnp.stack([jnp.atleast_1d(p[1]) for p in pending])))
+            except Exception:  # noqa: BLE001 - ragged shapes etc.
+                pass
+            for i, (step_loss, per, datasets) in enumerate(pending):
+                if losses_h is not None:
+                    step_loss, per = losses_h[i], pers_h[i]
+                else:
+                    per = _host_fetch(per)
                 step_loss = float(step_loss)
                 if not np.isfinite(step_loss):
                     raise RuntimeError(
