@@ -38,7 +38,7 @@ from pathlib import Path
 # (quality-neutral on the toy recipes; see tests + README).
 os.environ.setdefault('TSSEP_LSTM_IMPL', 'pallas')
 os.environ.setdefault('TSSEP_LSTM_DTYPE', 'bfloat16')
-os.environ.setdefault('TSSEP_PALLAS_BATCH_BLOCK', '128')
+os.environ.setdefault('TSSEP_PALLAS_BATCH_BLOCK', '256')
 os.environ.setdefault('TSSEP_COMPUTE_DTYPE', 'bfloat16')
 os.environ.setdefault('TSSEP_PALLAS_TIME_BLOCK', '4')
 os.environ.setdefault('TSSEP_DFT_PRECISION', 'default')
@@ -61,6 +61,9 @@ def parse_args(argv=None):
     p.add_argument('--tiled', action='store_true',
                    help='old fixed-batch measurement (one batch reused '
                         'every step) instead of fresh on-device batches')
+    p.add_argument('--infer', action='store_true',
+                   help='inference (serving forward) throughput instead '
+                        'of the training step')
     return p.parse_args(argv)
 
 
@@ -155,6 +158,36 @@ def run_single(args):
     return args.steps * args.batch * CLIP_SECONDS / elapsed
 
 
+def run_infer(args):
+    """Inference throughput: the serving forward (features -> conditioned
+    mask estimator -> masks + activity) on fresh on-device batches."""
+    import jax
+    import jax.numpy as jnp
+
+    model, params, _, _, make_batch = build(args.batch)
+
+    def infer_step(params, batch_, key):
+        out = model.forward(params, batch_, rng=key, training=False)
+        # serving outputs: masks + frame activity (sync on a small stat)
+        act = out.vad_mask if out.vad_mask is not None else out.mask
+        return jnp.sum(act.astype(jnp.float32))
+
+    step = jax.jit(infer_step)
+    gen = jax.jit(make_batch)
+    key = jax.random.PRNGKey(1)
+    bkey = jax.random.PRNGKey(2)
+    s = step(params, gen(bkey), key)
+    float(s)  # compile + warm sync
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        bkey = jax.random.fold_in(bkey, i)
+        key = jax.random.fold_in(key, i)
+        s = step(params, gen(bkey), key)
+    float(s)
+    elapsed = time.perf_counter() - t0
+    return args.steps * args.batch * CLIP_SECONDS / elapsed
+
+
 def run_mesh(args, axes):
     """data-parallel scaling: 1-chip vs N-chip in one invocation."""
     import jax
@@ -231,6 +264,12 @@ def main(argv=None):
         metric = (f'train audio-seconds/s/chip (flagship 8-spk TS-SEP, '
                   f'5s clips, global batch {args.batch}, '
                   f'data={axes["data"]})')
+    elif args.infer:
+        value = run_infer(args)
+        extra = {}
+        metric = (f'infer audio-seconds/s/chip (flagship 8-spk TS-SEP '
+                  f'serving forward, 5s clips, batch {args.batch}, '
+                  'fresh batches)')
     else:
         value = run_single(args)
         extra = {}
