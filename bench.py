@@ -181,7 +181,12 @@ def run_infer(args):
     t0 = time.perf_counter()
     for i in range(args.steps):
         bkey = jax.random.fold_in(bkey, i)
-        key = jax.random.fold_in(key, i)
+        # Chain each step on the previous step's scalar (folded into the
+        # PRNG key): on a runtime that reorders or overlaps independent
+        # executions, unchained steps would flatter the timing — this makes
+        # step i+1 data-dependent on step i, like donation does for the
+        # train loop, at the cost of one scalar add.
+        key = jax.random.fold_in(key, s.astype(jnp.int32) & 0x7fffffff)
         s = step(params, gen(bkey), key)
     float(s)
     elapsed = time.perf_counter() - t0

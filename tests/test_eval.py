@@ -153,6 +153,32 @@ class TestMetrics:
         x = np.random.RandomState(0).randn(1000)
         assert si_sdr(x, 3 * x) > 100
 
+    def test_si_sdr_silent_estimate_is_neg_inf(self):
+        """A silent estimate is a catastrophic failure, NOT 0.0 dB (the
+        round-3 rehearsal failure hid behind exactly that 0.0)."""
+        x = np.random.RandomState(0).randn(1000)
+        assert si_sdr(x, np.zeros_like(x)) == -np.inf
+        # batched: only the silent row is -inf
+        vals = si_sdr(np.stack([x, x]), np.stack([x, np.zeros_like(x)]))
+        assert vals[0] > 100 and vals[1] == -np.inf
+
+    def test_degenerate_problems(self):
+        from tssep_tpu.eval.run import degenerate_problems
+        # healthy eval -> no problems
+        assert degenerate_problems(
+            {'threshold': 0.4, 'der': 0.1}, {'mean_der': 0.12},
+            [{'si_sdr': 5.0}]) == []
+        # the three round-3 failure modes each produce a reason
+        p = degenerate_problems(
+            {'threshold': 0.05, 'der': 1.0, 'degenerate': True},
+            {'mean_der': 1.0},
+            [{'degenerate': True}, {'degenerate': True}])
+        assert len(p) == 3
+        assert any('calibration' in s for s in p)
+        assert any('mean eval DER' in s for s in p)
+        assert any('silent' in s for s in p)
+
+
     def test_ci_sdr_invariant_to_short_filter(self):
         rng = np.random.RandomState(0)
         s = rng.randn(8000)

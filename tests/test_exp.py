@@ -93,6 +93,30 @@ def test_run_tssep(tmp_path):
     assert (tmp_path / 'tssep' / 'checkpoints' / 'ckpt_best_loss.npz').exists()
 
 
+def test_early_stop_patience(tmp_path, monkeypatch):
+    """early_stop_patience stops training once validation stops improving
+    (the round-3 rehearsal overfit for 800 iterations; the evaluated best
+    checkpoint was from iteration ~400)."""
+    from tssep_tpu.train.trainer import Trainer
+
+    config = _load_reduced('init_cfg_tsvad.yaml', tmp_path / 'tsvad')
+    nv = NestedView(config)
+    nv['eg.trainer.stop_trigger'] = [10, 'iteration']
+    nv['eg.trainer.checkpoint_trigger'] = [1, 'iteration']
+    config['eg']['trainer']['early_stop_patience'] = 2
+    # deterministic validation trajectory: improves once, then plateaus
+    losses = iter([1.0, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0, 1.1, 1.2, 1.3])
+
+    from tssep_tpu.train.summary import ReviewSummary
+    monkeypatch.setattr(
+        Trainer, 'validate', lambda self: (next(losses), ReviewSummary()))
+    eg = from_config(Experiment.get_config(config['eg']))
+    it = eg.train()
+    # best at it=2 (0.5); non-improving at 3 and 4 -> stop at iteration 4
+    assert it == 4, it
+    assert (eg.trainer.checkpoint_dir / 'ckpt_best_loss.npz').exists()
+
+
 def test_resume(tmp_path):
     """Training twice resumes from ckpt_latest (reference resume semantics)."""
     config = _load_reduced('init_cfg_tsvad.yaml', tmp_path / 'tsvad')

@@ -75,12 +75,23 @@ def test_multichannel_recipe_end_to_end(tmp_path):
     masking AND the ClassicBF MVDR path (exp/run_simulated.py
     main_multichannel at CI scale)."""
     from tssep_tpu.exp.run_simulated import main
+    # strict_comparison=False: at 6 iterations the model is untrained, so
+    # the comparison-validity checks (which are the point of the real
+    # rehearsal) may legitimately fire; CI only exercises the plumbing.
     out = main(tmp_path / 'mc', train_examples=4, eval_examples=2,
                tsvad_iters=6, tssep_iters=6, batch=2, aux_size=513,
-               duration=2.0, num_channels=6, reverb_taps=2)
+               duration=2.0, num_channels=6, reverb_taps=2,
+               strict_comparison=False)
     vad_m, sep_m, bf_m = out
     assert vad_m['summary']['num_recordings'] == 2
     # the MVDR path produced scored output for every recording
     assert bf_m['summary']['num_recordings'] == 2
-    assert 'mean_si_sdr' in bf_m['summary']
-    assert np.isfinite(bf_m['summary']['mean_si_sdr'])
+    if bf_m['summary'].get('degenerate'):
+        # untrained-at-CI-scale: the new loudness machinery must have
+        # recorded WHY instead of reporting a silent 0.0
+        assert bf_m['summary']['degenerate_reasons']
+    else:
+        assert 'mean_si_sdr' in bf_m['summary']
+        assert np.isfinite(bf_m['summary']['mean_si_sdr'])
+    # every scored recording records how many segments were beamformed
+    assert all('num_segments' in r for r in bf_m['per_recording'])

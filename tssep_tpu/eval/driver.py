@@ -251,6 +251,12 @@ class EvalDriver:
             'sample_dia': sample_dia,
             'stft_estimate': est_stft,
             'time_estimate': est_time,
+            # number of diarized (speaker, interval) segments — for
+            # beamforming this is the number of segments actually
+            # beamformed; 0 means the enhancer never ran and the output is
+            # silence (a failed model, not a valid result).
+            'num_segments': sum(len(ai.normalized_intervals) for ai in dia),
+            'beamformed': bool(beamform),
         }
 
     def score_der(self, result, reference_vad_samples):

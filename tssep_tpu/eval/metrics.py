@@ -23,15 +23,29 @@ __all__ = ['si_sdr', 'ci_sdr', 'bss_eval_sources_sdr', 'der',
 
 
 def si_sdr(reference, estimate, eps=1e-12):
+    """Scale-invariant SDR.
+
+    A (near-)silent estimate is a *catastrophic* separation failure, not a
+    mediocre one: naively both the projected target and the residual are ~0
+    and the ratio collapses to a plausible-looking 0.0 dB (this is exactly
+    how the round-3 all-silence rehearsal eval hid as "mean_si_sdr 0.0").
+    Such estimates score ``-inf`` so downstream aggregation must confront
+    them (``eval.run`` flags them as ``degenerate``)."""
     reference = np.asarray(reference, dtype=np.float64)
     estimate = np.asarray(estimate, dtype=np.float64)
+    ref_power = np.sum(reference ** 2, axis=-1)
+    est_power = np.sum(estimate ** 2, axis=-1)
     alpha = (np.sum(reference * estimate, axis=-1, keepdims=True)
-             / np.maximum(np.sum(reference ** 2, axis=-1, keepdims=True), eps))
+             / np.maximum(ref_power[..., None], eps))
     target = alpha * reference
     noise = estimate - target
-    return 10 * np.log10(
+    out = 10 * np.log10(
         np.maximum(np.sum(target ** 2, axis=-1), eps)
         / np.maximum(np.sum(noise ** 2, axis=-1), eps))
+    # degenerate: estimate has (essentially) no energy relative to what a
+    # real estimate of this reference would carry
+    degenerate = est_power <= eps * np.maximum(ref_power, 1.0)
+    return np.where(degenerate, -np.inf, out)
 
 
 def _project_fir(reference, estimate, taps):

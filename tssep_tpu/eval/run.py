@@ -26,17 +26,49 @@ from tssep_tpu.eval.driver import EvalDriver, save_wavs
 from tssep_tpu.eval.metrics import si_sdr
 from tssep_tpu.train.run import build_config, parse_argv, run_with_pdb
 
-__all__ = ['evaluate', 'main']
+__all__ = ['evaluate', 'main', 'DegenerateEvalError']
+
+#: Calibration / eval DER at or above this is "the model detects (almost)
+#: nothing / everything" — a failed model, not a result.  The reference
+#: asserts loudly on its eval preconditions (enhancer.py:462-467); so do we.
+DEGENERATE_DER = 0.9
+
+
+class DegenerateEvalError(RuntimeError):
+    """Raised under ``strict=True`` when the evaluation is degenerate
+    (calibration DER >= 0.9, eval DER >= 0.9, or every recording's
+    separation estimate is silence)."""
+
+
+def degenerate_problems(calibration, summary, records):
+    """Summary-level degenerate verdict: the failure modes that made the
+    round-3 rehearsal failure invisible each contribute a reason string.
+    Empty list = the eval looks like a real measurement."""
+    problems = []
+    if calibration and calibration.get('degenerate'):
+        problems.append(f"calibration DER {calibration['der']:.3f} >= "
+                        f"{DEGENERATE_DER}")
+    if summary.get('mean_der', 0) >= DEGENERATE_DER:
+        problems.append(f"mean eval DER {summary['mean_der']:.3f} >= "
+                        f"{DEGENERATE_DER}")
+    n_degenerate = sum(1 for r in records if r.get('degenerate'))
+    if records and n_degenerate == len(records):
+        problems.append('every recording produced silent separation '
+                        'estimates')
+    return problems
 
 
 def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None,
-             transcriber=None):
+             transcriber=None, strict=False):
     """Run the eval driver for an Experiment; returns the metrics dict.
 
     ``transcriber``: optional ASR hook ``(samples, sample_rate) -> str``;
     recordings whose example dict carries per-speaker reference
     ``transcription`` are then also scored with cpWER
-    (``EvalDriver.score_wer``)."""
+    (``EvalDriver.score_wer``).
+
+    ``strict``: raise :class:`DegenerateEvalError` instead of returning
+    when the eval is degenerate (see the ``degenerate`` summary flag)."""
     trainer = eg.trainer
     trainer.ensure_init()
     storage_dir = Path(trainer.storage_dir)
@@ -87,6 +119,15 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None,
                   f'(calibration DER {cal_der:.3f})')
             driver.vad_threshold = th
             calibration = {'threshold': float(th), 'der': float(cal_der)}
+            if cal_der >= DEGENERATE_DER:
+                # "Best threshold still misses/hallucinates ~everything" is
+                # a failed model; it must not pass as a calibrated eval.
+                calibration['degenerate'] = True
+                print(f'WARNING: threshold calibration is DEGENERATE: the '
+                      f'best achievable calibration DER is {cal_der:.3f} '
+                      f'(>= {DEGENERATE_DER}). The model detects (almost) '
+                      f'no speech at any threshold; downstream separation '
+                      f'metrics are meaningless.', file=sys.stderr)
     except Exception as e:  # noqa: BLE001 - calibration is best-effort,
         # but its failure must be LOUD: recorded in metrics.json (below)
         # and on stderr, not just lost in stdout.
@@ -109,7 +150,8 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None,
         aux = np.asarray(ex['auxInput'])
         result = driver.run_recording(trainer.params, obs, aux,
                                       beamform=beamform)
-        record = {'example_id': str(example_id)}
+        record = {'example_id': str(example_id),
+                  'num_segments': int(result['num_segments'])}
         if 'vad' in ex:
             record.update(driver.score_der(result, np.asarray(ex['vad'])))
         if transcriber is not None and 'transcription' in ex:
@@ -122,8 +164,19 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None,
             est = np.asarray(result['time_estimate'])[..., :tgt.shape[-1]]
             active = np.abs(tgt).sum(-1) > 0
             if active.any():
-                record['si_sdr'] = float(np.mean(si_sdr(tgt[active],
-                                                        est[active])))
+                vals = np.atleast_1d(si_sdr(tgt[active], est[active]))
+                finite = np.isfinite(vals)
+                if finite.any():
+                    record['si_sdr'] = float(np.mean(vals[finite]))
+                if not finite.all():
+                    # -inf = silent estimate (eval.metrics.si_sdr); a
+                    # totally failed separation must be loud, not a "0 dB".
+                    record['degenerate'] = True
+                    record['num_silent_speakers'] = int((~finite).sum())
+                    print(f'WARNING: {example_id}: '
+                          f'{int((~finite).sum())}/{len(vals)} separated '
+                          f'streams are silence (degenerate separation)',
+                          file=sys.stderr)
         save_wavs(result, out_dir / 'audio', sample_rate=sample_rate,
                   example_id=str(example_id))
         records.append(record)
@@ -134,11 +187,22 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None,
         vals = [r[key] for r in records if key in r]
         if vals:
             summary[f'mean_{key}'] = float(np.mean(vals))
+    n_degenerate = sum(1 for r in records if r.get('degenerate'))
+    if n_degenerate:
+        summary['num_degenerate_recordings'] = n_degenerate
+    problems = degenerate_problems(calibration, summary, records)
+    if problems:
+        summary['degenerate'] = True
+        summary['degenerate_reasons'] = problems
+        print('WARNING: eval is DEGENERATE: ' + '; '.join(problems),
+              file=sys.stderr)
     metrics = {'summary': summary, 'per_recording': records,
                'checkpoint': str(checkpoint), 'iteration': trainer.iteration,
                'calibration': calibration}
     (out_dir / 'metrics.json').write_text(json.dumps(metrics, indent=1))
     print('SUMMARY', json.dumps(summary))
+    if strict and problems:
+        raise DegenerateEvalError('; '.join(problems))
     return metrics
 
 
@@ -148,6 +212,8 @@ def main(argv=None):
     if argv is None:
         argv = sys.argv[1:]
     use_pdb = '--pdb' in argv
+    strict = '--strict' in argv
+    argv = [a for a in argv if a != '--strict']
 
     def dispatch():
         _, files, overrides = parse_argv(argv)
@@ -155,6 +221,9 @@ def main(argv=None):
         out = overrides.pop('out', None)
         beamform = overrides.pop('beamform', None)
         limit = overrides.pop('limit', None)
+        strict_ = overrides.pop('strict', strict)
+        if isinstance(strict_, str):
+            strict_ = strict_.lower() in ('1', 'true', 'yes')
         transcriber = overrides.pop('transcriber', None)
         if isinstance(transcriber, str):
             # dotted path to a Transcriber instance, class, or factory.
@@ -185,7 +254,7 @@ def main(argv=None):
         eg = from_config(config['eg'])
         return evaluate(eg, checkpoint=checkpoint, out=out,
                         beamform=beamform, limit=limit,
-                        transcriber=transcriber)
+                        transcriber=transcriber, strict=strict_)
 
     return run_with_pdb(dispatch, use_pdb)
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
+import numpy as np
+
 __all__ = ['main']
 
 
@@ -46,8 +48,12 @@ def _config(work_dir, shards, stage, iters, batch, aux_size=64,
                 },
             },
             'summary_trigger': [max(iters // 10, 1), 'iteration'],
-            'checkpoint_trigger': [max(iters // 2, 1), 'iteration'],
+            'checkpoint_trigger': [max(iters // 10, 1), 'iteration'],
             'stop_trigger': [iters, 'iteration'],
+            # validation-loss early stopping: the best checkpoint is what
+            # gets evaluated, so once validation stops improving more
+            # training only overfits (round-3 rehearsal failure mode).
+            'early_stop_patience': 4,
             'storage_dir': str(Path(work_dir) / stage),
         },
         'train_batchsize': batch,
@@ -68,9 +74,18 @@ def _config(work_dir, shards, stage, iters, batch, aux_size=64,
     return common
 
 
-def main(work_dir='egs/simulated', train_examples=32, eval_examples=4,
+def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
          tsvad_iters=800, tssep_iters=800, batch=8, aux_size=513,
-         duration=5.0, num_channels=1, reverb_taps=0, speaker_pool=0):
+         duration=5.0, num_channels=1, reverb_taps=0, speaker_pool=16,
+         strict_comparison=True):
+    """``speaker_pool`` defaults to a CLOSED set of 16 voices shared by the
+    train/validate/eval splits — the reference's enrolled-speaker condition
+    (LibriCSS evaluates known, enrolled speakers).  The round-3 rehearsal
+    trained open-set on 32 fixed meetings and memorized the training voices
+    (train BCE 0.002 vs validation 1.407); see RESULTS.md.
+
+    ``train_examples=None`` scales the corpus with the optimizer budget so
+    each meeting is seen at most ~25 times."""
     from tssep_tpu.config.configurable import from_config
     from tssep_tpu.data.simulate import MeetingSimulator, simulate_corpus
     from tssep_tpu.eval.run import evaluate
@@ -78,6 +93,17 @@ def main(work_dir='egs/simulated', train_examples=32, eval_examples=4,
 
     work_dir = Path(work_dir)
     work_dir.mkdir(parents=True, exist_ok=True)
+
+    total_seen = max(tsvad_iters, tssep_iters) * batch
+    if train_examples is None:
+        train_examples = int(np.clip(total_seen // 25, 32, 2048))
+    epochs = total_seen / train_examples
+    if epochs > 50:
+        print(f'WARNING: {total_seen} training examples will be drawn from '
+              f'a corpus of only {train_examples} meetings '
+              f'({epochs:.0f} epochs) — expect memorization. Raise '
+              f'train_examples or lower the iteration count.',
+              file=sys.stderr)
 
     # 1. simulate corpora (eval meetings are twice as long -> exercises the
     #    chunked long-recording path)
@@ -121,6 +147,32 @@ def main(work_dir='egs/simulated', train_examples=32, eval_examples=4,
         print('=== Eval: TS-SEP (separation, MVDR beamforming)')
         bf_metrics = evaluate(eg2, beamform=True,
                               out=Path(eg2.trainer.storage_dir) / 'eval_bf')
+        # A "comparison" in which the beamformer never ran is not a
+        # comparison (round-3 failure mode: DER 1.0 -> zero diarized
+        # segments -> both paths emitted byte-identical silence).  The
+        # reference asserts loudly on its eval preconditions
+        # (enhancer.py:462-467); so do we.
+        no_segments = [r['example_id']
+                       for r in bf_metrics['per_recording']
+                       if r.get('num_segments', 0) < 1]
+        invalid = None
+        if no_segments:
+            invalid = (
+                f'MVDR-vs-masking comparison is invalid: the beamformer '
+                f'never beamformed a single segment on recordings '
+                f'{no_segments} (no diarized activity). The upstream '
+                f'model failed; fix it before claiming a comparison.')
+        elif (bf_metrics['summary'].get('degenerate')
+                or sep_metrics['summary'].get('degenerate')):
+            invalid = (
+                'MVDR-vs-masking comparison is invalid: a degenerate eval '
+                f"(bf: {bf_metrics['summary'].get('degenerate_reasons')}, "
+                f"masking: "
+                f"{sep_metrics['summary'].get('degenerate_reasons')})")
+        if invalid:
+            if strict_comparison:
+                raise RuntimeError(invalid)
+            print(f'WARNING: {invalid}', file=sys.stderr)
         cmp = {
             'masking_si_sdr': sep_metrics['summary'].get('mean_si_sdr'),
             'mvdr_si_sdr': bf_metrics['summary'].get('mean_si_sdr'),

@@ -169,7 +169,7 @@ class Trainer(Configurable):
                  stop_trigger=(416666, 'iteration'),
                  virtual_minibatch_size=1,
                  seed=0, mesh=None, create_snapshots=True,
-                 async_checkpoints=False):
+                 async_checkpoints=False, early_stop_patience=0):
         if isinstance(model, dict):
             model = from_config(model)
         if optimizer is None:
@@ -194,6 +194,12 @@ class Trainer(Configurable):
         self.async_checkpoints = bool(async_checkpoints)
         #: None (single device) or {'data': D|None, 'model': M}.
         self.mesh_config = dict(mesh) if mesh else None
+        #: >0: stop training after this many consecutive validations
+        #: without a new best validation loss.  The decision is derived
+        #: from the collective validation loss, so it is identical on
+        #: every host (no divergent control flow under multi-host).
+        self.early_stop_patience = int(early_stop_patience)
+        self._validations_since_best = 0
 
         self.params = None
         self.opt_state = None
@@ -662,8 +668,19 @@ class Trainer(Configurable):
                     if val_loss < self.best_validation_loss:
                         self.best_validation_loss = val_loss
                         best = True
+                        self._validations_since_best = 0
+                    else:
+                        self._validations_since_best += 1
                 self.save(best=best)
                 last_saved = self.iteration
+                if (self.early_stop_patience
+                        and self._validations_since_best
+                        >= self.early_stop_patience):
+                    print(f'Early stop at iteration {self.iteration}: no '
+                          f'validation improvement for '
+                          f'{self._validations_since_best} validations '
+                          f'(best {self.best_validation_loss:.6g})')
+                    break
 
         drain_pending()
         ckpt_lib.wait_for_pending()
