@@ -156,6 +156,72 @@ def test_fullfused_batch_padding(kb, data):
 
 
 # ---------------------------------------------------------------------------
+# Block-spilled fully-fused layer (boundary-state residuals)
+# ---------------------------------------------------------------------------
+
+def test_fullfused_spill_matches_scan(kb, data):
+    """Spill-variant forward parity (also exercises boundary outputs and
+    time padding to the SPILL_BLOCK multiple: T=23 -> 24)."""
+    x, params, H = data
+    ref = _scan_ref(params, x, H)
+    got = kb.blstm_layer_fullfused_spill(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fullfused_spill_grads_match_scan(kb, data):
+    """The restructured backward (batched gate recompute + in-VMEM cell
+    reconstruction from spilled boundaries) matches scan gradients."""
+    x, params, H = data
+
+    def loss_ref(p, x):
+        return jnp.sum(_scan_ref(p, x, H) ** 2)
+
+    def loss_sp(p, x):
+        return jnp.sum(kb.blstm_layer_fullfused_spill(p, x) ** 2)
+
+    g_ref = jax.grad(loss_ref)(params, x)
+    g_sp = jax.grad(loss_sp)(params, x)
+    for k in sorted(g_ref):
+        a, b = np.asarray(g_ref[k]), np.asarray(g_sp[k])
+        err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+        assert err < 1e-4, (k, err)
+    gx_ref = jax.grad(loss_ref, argnums=1)(params, x)
+    gx_sp = jax.grad(loss_sp, argnums=1)(params, x)
+    np.testing.assert_allclose(np.asarray(gx_sp), np.asarray(gx_ref),
+                               atol=1e-4)
+
+
+def test_fullfused_spill_batch_padding(kb, data):
+    x, params, H = data
+    x_small = x[:5]
+    ref = _scan_ref(params, x_small, H)
+    got = kb.blstm_layer_fullfused_spill(params, x_small)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fullfused_spill_multi_block_grads(kb, data):
+    """Sequence long enough for several spill blocks AND several time
+    blocks per spill block (dh/dc carries must flow across both)."""
+    x, params, H = data
+    x_long = jnp.concatenate([x, x[:, ::-1], x], axis=1)  # T = 69 -> 72
+
+    def loss_ref(p):
+        return jnp.sum(_scan_ref(p, x_long, H) ** 2)
+
+    def loss_sp(p):
+        return jnp.sum(kb.blstm_layer_fullfused_spill(p, x_long) ** 2)
+
+    np.testing.assert_allclose(float(loss_sp(params)),
+                               float(loss_ref(params)), rtol=1e-5)
+    g_ref = jax.grad(loss_ref)(params)
+    g_sp = jax.grad(loss_sp)(params)
+    for k in sorted(g_ref):
+        a, b = np.asarray(g_ref[k]), np.asarray(g_sp[k])
+        err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+        assert err < 1e-4, (k, err)
+
+
+# ---------------------------------------------------------------------------
 # Conditioned fully-fused layer ((xs * aux) formed in VMEM)
 # ---------------------------------------------------------------------------
 

@@ -95,6 +95,28 @@ def main():
     assert e < 2e-3, e
     print('FULLFUSE OK')
 
+    # Block-spilled fully-fused layer (boundary-state residuals;
+    # restructured backward)
+    def loss_sp(p, x):
+        return jnp.sum(kb.blstm_layer_fullfused_spill(p, x) ** 2)
+
+    out_sp = jax.jit(
+        lambda p, x: kb.blstm_layer_fullfused_spill(p, x))(params, x)
+    e = float(jnp.max(jnp.abs(ref - out_sp)))
+    print('spill fwd max err:', e)
+    assert e < 2e-3, e
+    g_sp = jax.jit(jax.grad(loss_sp))(params, x)
+    gx_sp = jax.jit(jax.grad(loss_sp, argnums=1))(params, x)
+    for k in sorted(g_ref):
+        a, b = np.asarray(g_ref[k]), np.asarray(g_sp[k])
+        e = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+        print(f'  spill grad {k}: rel err {e:.2e}')
+        assert e < 5e-3, (k, e)
+    e = float(jnp.max(jnp.abs(gx_ref - gx_sp)))
+    print('spill input grad max err:', e)
+    assert e < 2e-3, e
+    print('SPILL OK')
+
     # Conditioned fully-fused layer ((xs * aux) formed in VMEM)
     S = 4
     aux = jax.random.normal(jax.random.PRNGKey(3), (B, S, I), jnp.float32)

@@ -1,0 +1,62 @@
+"""Re-score an already-trained multichannel rehearsal (egs/simulated_mc)
+with the current eval harness — no retraining.
+
+Round-4 use: the 10:24 chip rehearsal trained cleanly (TS-VAD held-out
+DER 0.0106; TS-SEP validation LogMAE -0.82) but the TS-SEP eval derived
+activity as sigmoid(freq-mean logit), which collapses for 'tf' resolution
+(frequency-sparse speech) — DER 0.65 from misses.  This re-runs all three
+evals with the fixed freq-mean-of-mask statistic against the SAME
+checkpoints and prints the masking-vs-MVDR comparison.
+
+Usage: python tools/reeval_mc.py [work_dir] [out_suffix]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(work_dir='egs/simulated_mc', suffix='_reeval'):
+    from tssep_tpu.config.configurable import from_config
+    from tssep_tpu.eval.run import evaluate
+    from tssep_tpu.exp.run_simulated import _config
+    from tssep_tpu.train.experiment import Experiment
+
+    work_dir = Path(work_dir)
+    shards = {s: work_dir / f'{s}.shard'
+              for s in ('train', 'validate', 'eval')}
+    for p in shards.values():
+        assert p.exists(), p
+
+    cfg = _config(work_dir, shards, 'tsvad', 800, 8, 513)
+    eg = from_config(Experiment.get_config(cfg))
+    print('=== Re-eval: TS-VAD (diarization)')
+    vad_metrics = evaluate(
+        eg, beamform=False,
+        out=work_dir / 'tsvad' / f'eval{suffix}')
+
+    ckpt = work_dir / 'tsvad' / 'checkpoints' / 'ckpt_best_loss.npz'
+    cfg2 = _config(work_dir, shards, 'tssep', 800, 8, 513, checkpoint=ckpt)
+    eg2 = from_config(Experiment.get_config(cfg2))
+    print('=== Re-eval: TS-SEP (masking)')
+    sep_metrics = evaluate(
+        eg2, beamform=False,
+        out=work_dir / 'tssep' / f'eval{suffix}')
+    print('=== Re-eval: TS-SEP (MVDR)')
+    bf_metrics = evaluate(
+        eg2, beamform=True,
+        out=work_dir / 'tssep' / f'eval_bf{suffix}')
+    cmp = {
+        'masking_si_sdr': sep_metrics['summary'].get('mean_si_sdr'),
+        'mvdr_si_sdr': bf_metrics['summary'].get('mean_si_sdr'),
+        'tsvad_der': vad_metrics['summary'].get('mean_der'),
+        'tssep_der': sep_metrics['summary'].get('mean_der'),
+    }
+    print('=== Masking vs MVDR (re-eval):', cmp)
+    return cmp
+
+
+if __name__ == '__main__':
+    args = [a for a in sys.argv[1:] if not a.startswith('-')]
+    main(*args[:2])

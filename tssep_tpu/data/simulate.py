@@ -93,10 +93,124 @@ class MeetingSimulator:
     #: tssep/data.py:58-146 consumes precomputed per-speaker i-vectors).
     #: 0 = open set: every meeting gets fresh random voices.
     speaker_pool: int = 0
+    #: >0: speakers utter WORDS from a closed vocabulary of this size
+    #: instead of continuous harmonics — each word is a fixed on/off tone
+    #: rhythm (speaker-independent energy envelope rendered with the
+    #: speaker's f0/timbre), and every example carries a per-speaker
+    #: ``transcription``.  This makes the corpus ASR-scorable: the
+    #: in-framework CTC recognizer (``tssep_tpu.eval.ctc``) trains on these
+    #: words and produces real cpWER/ORC-WER numbers through the eval CLI.
+    vocabulary: int = 0
+    word_sec: float = 0.30
+    #: Inter-word silence.  MUST stay longer than the longest in-word
+    #: silence (2 slots + up to 2 trailing-off slots = 4 x 0.05 s): word
+    #: boundaries are then decodable from the energy envelope alone.
+    word_gap_sec: float = 0.25
 
     def __post_init__(self):
         self.embedder = SpeakerEmbedder(self.aux_size, self.sample_rate,
                                         kind=self.embedding_kind)
+
+    # -- closed-vocabulary word speech -----------------------------------
+    #: Slots per word (a word = an on/off tone rhythm over these slots).
+    _WORD_SLOTS = 6
+
+    @classmethod
+    def word_pattern(cls, word: int):
+        """Word id -> its on/off slot pattern (deterministic codebook).
+
+        The codebook enumerates 6-slot binary rhythms that are
+        SELF-DELIMITING in a word stream: every word starts with an 'on'
+        slot and never contains >= 3 consecutive 'off' slots, while the
+        inter-word gap (``word_gap_sec``) is > 4 slots of silence — so any
+        long silence run is a word boundary and any short one is in-word
+        structure.  (The first cut of this codebook allowed leading/
+        arbitrary 'off' runs equal to the gap length; CTC training
+        plateaued at ~90% WER because the parse was ill-posed, not because
+        the model was weak.)  23 available words; rhythm is speaker-
+        independent (pure energy envelope), so a small recognizer
+        generalizes across voices."""
+        patterns = cls._codebook()
+        assert word < len(patterns), (word, len(patterns))
+        return list(patterns[word])
+
+    @classmethod
+    def _codebook(cls):
+        if getattr(cls, '_codebook_cache', None) is not None:
+            return cls._codebook_cache
+        candidates = []
+        for p in range(2 ** cls._WORD_SLOTS):
+            bits = tuple((p >> i) & 1 for i in range(cls._WORD_SLOTS))
+            if bits[0] != 1 or not 2 <= sum(bits) <= 5:
+                continue
+            run = 0
+            ok = True
+            for b in bits:
+                run = run + 1 if b == 0 else 0
+                if run >= 3:
+                    ok = False
+                    break
+            if ok:
+                candidates.append(bits)
+        # Greedy max-min-Hamming ordering: a vocabulary of the first V
+        # words is then as mutually distinct as possible (the CTC
+        # recognizer's residual confusions were nearest-neighbour words).
+        dist = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+        chosen = [candidates.pop(0)]
+        while candidates:
+            best = max(candidates,
+                       key=lambda c: (min(dist(c, ch) for ch in chosen),
+                                      sum(c)))
+            candidates.remove(best)
+            chosen.append(best)
+        cls._codebook_cache = chosen
+        return chosen
+
+    def _word_waveform(self, rng, word, f0, timbre_seed):
+        """One word: an on/off harmonic-tone rhythm, speaker timbre."""
+        slot = int(self.sample_rate * self.word_sec / self._WORD_SLOTS)
+        t = np.arange(slot) / self.sample_rate
+        timbre = np.random.RandomState(timbre_seed)
+        n_harm = 8
+        amps = timbre.uniform(0.05, 1.0, n_harm) / np.arange(1, n_harm + 1)
+        env = np.hanning(2 * min(slot // 4, 160))
+        fade = len(env) // 2
+        nyquist = self.sample_rate / 2
+        out = []
+        for on in self.word_pattern(word):
+            if not on:
+                out.append(np.zeros(slot))
+                continue
+            sig = np.zeros(slot)
+            for k in range(1, n_harm + 1):
+                f = f0 * k
+                if f >= nyquist * 0.95:
+                    break
+                sig += amps[k - 1] * np.sin(
+                    2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+            sig[:fade] *= env[:fade]
+            sig[-fade:] *= env[fade:]
+            out.append(sig)
+        return np.concatenate(out).astype(np.float32)
+
+    def word_utterance(self, rng, num_samples, f0, timbre_seed, words=None):
+        """Fill ``num_samples`` with words (+ gaps).  Returns (sig, words)."""
+        gap = int(self.sample_rate * self.word_gap_sec)
+        sig = np.zeros(num_samples, dtype=np.float32)
+        pos = gap // 2
+        out_words = []
+        i = 0
+        while True:
+            w = (int(words[i % len(words)]) if words is not None
+                 else int(rng.randint(self.vocabulary)))
+            wav = self._word_waveform(rng, w, f0, timbre_seed)
+            if pos + len(wav) > num_samples:
+                break
+            sig[pos:pos + len(wav)] = wav
+            out_words.append(f'w{w}')
+            pos += len(wav) + gap
+            i += 1
+        return sig, out_words
 
     def _speaker_source(self, rng, num_samples, voiced_f0, timbre_seed=None):
         """Harmonic-plus-noise 'speech' with a per-speaker timbre envelope.
@@ -152,11 +266,25 @@ class MeetingSimulator:
         else:
             f0s = np.exp(rng.uniform(np.log(90), np.log(900), size=s))
             timbres = rng.randint(0, 2 ** 31, size=s)
-        sources = np.stack([
-            self._speaker_source(rng, num_samples, f0, int(ts))
-            for f0, ts in zip(f0s, timbres)])                # (S, T)
         vad = self._turn_layout(num_samples)
-        sources = sources * vad
+        transcription = None
+        if self.vocabulary:
+            # word speech placed inside each speaker's turn; transcription
+            # is the ground-truth word sequence (ASR-scorable corpus)
+            sources = np.zeros((s, num_samples), dtype=np.float32)
+            transcription = []
+            for spk in range(s):
+                active = np.where(vad[spk])[0]
+                start, end = int(active[0]), int(active[-1]) + 1
+                sig, words = self.word_utterance(
+                    rng, end - start, f0s[spk], int(timbres[spk]))
+                sources[spk, start:end] = sig
+                transcription.append(' '.join(words))
+        else:
+            sources = np.stack([
+                self._speaker_source(rng, num_samples, f0, int(ts))
+                for f0, ts in zip(f0s, timbres)])            # (S, T)
+            sources = sources * vad
 
         # Channel images: per-channel delay + decaying taps
         images = np.zeros((s, c, num_samples), dtype=np.float32)
@@ -188,7 +316,7 @@ class MeetingSimulator:
                 self.sample_rate, f0s[spk], int(timbres[spk])))
             for spk in range(s)])
 
-        return {
+        ex = {
             'example_id': f'sim_{index}',
             'num_samples': num_samples,
             'audio_data': {
@@ -199,6 +327,9 @@ class MeetingSimulator:
             'auxInput': aux.astype(np.float32),
             'dataset': 'simulated',
         }
+        if transcription is not None:
+            ex['transcription'] = transcription
+        return ex
 
     def __iter__(self):
         i = 0
@@ -216,11 +347,16 @@ def simulate_corpus(shard_path, num_examples, simulator: MeetingSimulator = None
     with ShardWriter(shard_path) as w:
         for i in range(num_examples):
             ex = simulator.example(i)
-            w.add_example(ex['example_id'], {
+            payload = {
                 'observation': ex['audio_data']['observation'],
                 'speaker_reverberation_early_ch0':
                     ex['audio_data']['speaker_reverberation_early_ch0'],
                 'vad': ex['audio_data']['vad'],
                 'auxInput': ex['auxInput'],
-            })
+            }
+            if 'transcription' in ex:
+                from tssep_tpu.data.import_corpus import _encode_strings
+                payload['transcription'] = _encode_strings(
+                    ex['transcription'])
+            w.add_example(ex['example_id'], payload)
     return shard_path

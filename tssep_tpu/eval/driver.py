@@ -21,6 +21,7 @@ driver itself, TPU-first:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -120,6 +121,13 @@ class ChunkedMaskEstimator:
     #: long-recording inference — sharded over 'data', one jit, XLA inserts
     #: nothing (embarrassingly parallel) and each chip handles its chunks.
     mesh: object = None
+    #: Frame-activity statistic over the (T, F) sigmoid mask for 'tf'
+    #: output resolutions: 'mean' (the TS-SEP recipe: mask averaged over
+    #: frequency) or 'qNN' (freq quantile, e.g. 'q90' — robust when
+    #: active speech is frequency-sparse and the freq mean of an active
+    #: frame sits near the silence floor).  'frame' resolutions are
+    #: unaffected ((T, 1) masks: every statistic is the sigmoid itself).
+    activity_stat: str = os.environ.get('TSSEP_EVAL_ACTIVITY', 'mean')
 
     def __post_init__(self):
         self._jit_cache = {}
@@ -188,8 +196,22 @@ class ChunkedMaskEstimator:
                               time_axis=-2)
         logits = stitch_chunks(logit_chunks, starts, num_frames, chunk, hop,
                                time_axis=-2)
-        # activity score: sigmoid of freq-mean logit, nmask squeezed
-        activity = 1 / (1 + np.exp(-np.squeeze(logits, axis=-3).mean(-1)))
+        # Activity score: a freq statistic OF THE SIGMOID mask, nmask
+        # squeezed (default 'mean' = the TS-SEP recipe: mask averaged over
+        # frequency).  For 'frame' resolution the freq axis is a
+        # singleton, so any statistic equals sigmoid(logit) exactly.
+        # sigmoid(freq-mean LOGIT) — the round-3 statistic — is wrong for
+        # 'tf': harmonic speech is frequency-sparse, the many strongly-
+        # negative inactive bins dominate the mean, and active frames
+        # score ~0.05 (chip rehearsal: calibration DER 0.776 at best
+        # threshold 0.05, 11.3 s of 17.8 s missed).
+        sig = 1 / (1 + np.exp(-np.squeeze(logits, axis=-3)))
+        if self.activity_stat.startswith('q'):
+            activity = np.quantile(sig, float(self.activity_stat[1:]) / 100,
+                                   axis=-1)
+        else:
+            assert self.activity_stat == 'mean', self.activity_stat
+            activity = sig.mean(-1)
         return masks, activity
 
 
@@ -332,7 +354,10 @@ def calibration_stats(activities, references, thresholds=None,
     the sufficient statistic for threshold selection, additive across
     hosts."""
     if thresholds is None:
-        thresholds = np.linspace(0.05, 0.9, 18)
+        # Low-end densified: a freq-averaged mask of frequency-sparse
+        # speech legitimately peaks well below 0.5.
+        thresholds = np.concatenate([[0.01, 0.02, 0.03],
+                                     np.linspace(0.05, 0.9, 18)])
     err = np.zeros(len(thresholds))
     ref_tot = np.zeros(len(thresholds))
     for i, th in enumerate(thresholds):

@@ -77,7 +77,7 @@ def _config(work_dir, shards, stage, iters, batch, aux_size=64,
 def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
          tsvad_iters=800, tssep_iters=800, batch=8, aux_size=513,
          duration=5.0, num_channels=1, reverb_taps=0, speaker_pool=16,
-         strict_comparison=True):
+         strict_comparison=True, vocabulary=0, ctc_steps=900):
     """``speaker_pool`` defaults to a CLOSED set of 16 voices shared by the
     train/validate/eval splits — the reference's enrolled-speaker condition
     (LibriCSS evaluates known, enrolled speakers).  The round-3 rehearsal
@@ -118,8 +118,29 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
             simulate_corpus(path, n, MeetingSimulator(
                 duration=dur, aux_size=aux_size, seed=seed,
                 embedding_kind='gate', num_channels=num_channels,
-                reverb_taps=reverb_taps, speaker_pool=speaker_pool))
+                reverb_taps=reverb_taps, speaker_pool=speaker_pool,
+                vocabulary=vocabulary))
         shards[split] = path
+
+    # With a word vocabulary the corpus is ASR-scorable: train the
+    # in-framework CTC recognizer on the same (closed-pool) voice
+    # distribution; evaluate() then also reports cpWER per recording.
+    transcriber = None
+    if vocabulary:
+        from tssep_tpu.eval.ctc import CTCRecognizer
+        asr_path = work_dir / 'ctc_asr.npz'
+        asr_sim = MeetingSimulator(
+            duration=duration, aux_size=aux_size, seed=3,
+            embedding_kind='gate', speaker_pool=speaker_pool,
+            vocabulary=vocabulary)
+        if asr_path.exists():
+            transcriber = CTCRecognizer(vocabulary=vocabulary).load(asr_path)
+            print(f'Loaded CTC recognizer from {asr_path}')
+        else:
+            print(f'Training CTC recognizer ({ctc_steps} steps)')
+            transcriber = CTCRecognizer.train_on(
+                asr_sim, steps=ctc_steps, verbose=True)
+            transcriber.save(asr_path)
 
     # 2. stage 1: TS-VAD
     print('=== Stage 1: TS-VAD')
@@ -139,13 +160,13 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
     print('=== Eval: TS-VAD (diarization)')
     vad_metrics = evaluate(eg, beamform=False)
     print('=== Eval: TS-SEP (separation, masking)')
-    sep_metrics = evaluate(eg2, beamform=False)
+    sep_metrics = evaluate(eg2, beamform=False, transcriber=transcriber)
     if num_channels >= 6:
         # Multichannel rehearsal: the full ClassicBF MVDR path (per-VAD-
         # segment PSDs + Souden beamforming, reference enhancer.py:451-548)
         # against plain masking on the same masks/diarization.
         print('=== Eval: TS-SEP (separation, MVDR beamforming)')
-        bf_metrics = evaluate(eg2, beamform=True,
+        bf_metrics = evaluate(eg2, beamform=True, transcriber=transcriber,
                               out=Path(eg2.trainer.storage_dir) / 'eval_bf')
         # A "comparison" in which the beamformer never ran is not a
         # comparison (round-3 failure mode: DER 1.0 -> zero diarized
@@ -177,6 +198,9 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
             'masking_si_sdr': sep_metrics['summary'].get('mean_si_sdr'),
             'mvdr_si_sdr': bf_metrics['summary'].get('mean_si_sdr'),
         }
+        if transcriber is not None:
+            cmp['masking_cp_wer'] = sep_metrics['summary'].get('mean_cp_wer')
+            cmp['mvdr_cp_wer'] = bf_metrics['summary'].get('mean_cp_wer')
         print('=== Masking vs MVDR:', cmp)
         return vad_metrics, sep_metrics, bf_metrics
     return vad_metrics, sep_metrics
@@ -192,10 +216,17 @@ def main_multichannel(work_dir='egs/simulated_mc', **kwargs):
 
 if __name__ == '__main__':
     _args = [a for a in sys.argv[1:] if not a.startswith('-')]
+    _kw = {}
+    for _a in sys.argv[1:]:
+        # --key=value overrides for main()'s keyword arguments
+        # (e.g. --vocabulary=8 --ctc_steps=1600 --tsvad_iters=400)
+        if _a.startswith('--') and '=' in _a:
+            _k, _, _v = _a[2:].partition('=')
+            _kw[_k] = int(_v) if _v.lstrip('-').isdigit() else _v
     if '--multichannel' in sys.argv[1:]:
-        main_multichannel(*_args[:1])
+        main_multichannel(*_args[:1], **_kw)
     else:
-        main(*_args[:1])
+        main(*_args[:1], **_kw)
 
 
 def joint_eval(vad_eg, sep_eg, limit=None):

@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ['lstm_fused', 'blstm_apply_fused', 'blstm_apply_fused_bidi',
            'blstm_layer_fused', 'blstm_layer_fullfused',
-           'blstm_layer_fullfused_cond']
+           'blstm_layer_fullfused_spill', 'blstm_layer_fullfused_cond']
 
 
 # ---------------------------------------------------------------------------
@@ -1097,6 +1097,437 @@ def _ff_layer_bwd(residuals, dout):
 
 
 blstm_layer_fullfused.defvjp(_ff_layer_fwd, _ff_layer_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Block-spilled fully-fused layer: boundary-state residuals only
+# ---------------------------------------------------------------------------
+# The fullfused no-remat backward keeps 4x (T, B, H) state sequences
+# (hs/cs per direction) alive from forward to backward — ~1.5 GB/layer at
+# flagship dims, HBM-OOM with every folded layer no-remat (chip-measured
+# 20.7 G vs 15.75 G).  This variant spills only:
+#   - hs (the layer OUTPUT — alive downstream anyway), and
+#   - the (h, c) carry at every SPILL_BLOCK'th step boundary (T/S_ blocks).
+# No cs sequence ever reaches HBM (halves the forward's state writes), and
+# the backward reconstructs the in-block cell states in VMEM.  The backward
+# is also restructured around the true dependency graph:
+#   phase 1: gate pre-activations for the whole block — h_prev comes from
+#            the SAVED hs, so every step is independent -> back-to-back MXU
+#            matmuls, no serial stalls;
+#   phase 2: cell-state reconstruction c_j = f*c_{j-1} + i*g — serial but
+#            VPU-only (elementwise), no matmul on the critical path;
+#   phase 3: reverse walk — the only serial matmul left is the dh backprop
+#            (bb, 4H) x (4H, H); dgates overwrite the gate scratch in place;
+#   phase 4: dx / dW_ih / dW_hh / db — independent per step, batched MXU.
+# vs the merged reverse walk of ``_ff_bwd_kernel`` (whose in-order VLIW
+# execution serializes 3 matmuls + all VPU work per step), the serial
+# critical path shrinks ~3x; chip target bwd ~<2.3x fwd (TODO.md round 3).
+
+#: Steps per spilled boundary (must be a multiple of TIME_BLOCK; the
+#: backward grid walks blocks of this size).  8 keeps the backward's VMEM
+#: working set (~73 MB at flagship dims, bb=256) under the scoped budget.
+SPILL_BLOCK = int(_os.environ.get('TSSEP_PALLAS_SPILL_BLOCK', '8'))
+
+
+def _ffs_fwd_kernel(xs_ref, xr_ref, wihf_ref, wihr_ref, bf_ref, br_ref,
+                    wf_ref, wr_ref,
+                    hsf_ref, hsr_ref, cbf_ref, cbr_ref,
+                    hf_scr, cf_scr, hr_scr, cr_scr, *, hidden, time_block):
+    tb = pl.program_id(1)
+
+    @pl.when(tb == 0)
+    def _():
+        hf_scr[:] = jnp.zeros_like(hf_scr)
+        cf_scr[:] = jnp.zeros_like(cf_scr)
+        hr_scr[:] = jnp.zeros_like(hr_scr)
+        cr_scr[:] = jnp.zeros_like(cr_scr)
+
+    # Cell-state carry entering this time block -> one slot per grid step
+    # (the backward slices every spill_ratio'th slot; the h carry is NOT
+    # stored — it is hs[block_start - 1], already a forward output).
+    # Unconditional store with a t-indexed BlockSpec: a `t // r` revisiting
+    # block + pl.when costs more (write-back every grid step anyway, plus
+    # a pipeline bubble) than the small extra HBM.
+    cbf_ref[0] = cf_scr[:].astype(cbf_ref.dtype)
+    cbr_ref[0] = cr_scr[:].astype(cbr_ref.dtype)
+
+    def cell(x_t, b_ref, wih_ref, whh_ref, h, c):
+        gates = (jnp.dot(x_t, wih_ref[:],
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(h.astype(whh_ref.dtype), whh_ref[:],
+                           preferred_element_type=jnp.float32)
+                 + b_ref[:].astype(jnp.float32))
+        i = jax.nn.sigmoid(gates[:, :hidden])
+        f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return h, c
+
+    def step(k, _):
+        hf, cf = cell(xs_ref[k], bf_ref, wihf_ref, wf_ref,
+                      hf_scr[:], cf_scr[:])
+        hr, cr = cell(xr_ref[k], br_ref, wihr_ref, wr_ref,
+                      hr_scr[:], cr_scr[:])
+        hf_scr[:] = hf
+        cf_scr[:] = cf
+        hr_scr[:] = hr
+        cr_scr[:] = cr
+        hsf_ref[k] = hf.astype(hsf_ref.dtype)
+        hsr_ref[k] = hr.astype(hsr_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, time_block, step, 0)
+
+
+def _ffs_bwd_kernel(xs_ref, xr_ref, wihf_ref, wihr_ref, bf_ref, br_ref,
+                    wf_ref, wr_ref,
+                    hsf_ref, hbf_ref, cbf_ref, dhsf_ref,
+                    hsr_ref, hbr_ref, cbr_ref, dhsr_ref,
+                    dxa_ref, dxb_ref, dwihf_ref, dwihr_ref,
+                    dbf_ref, dbr_ref, dwf_ref, dwr_ref,
+                    gf_scr, gr_scr, cqf_scr, cqr_scr, hpf_scr, hpr_scr,
+                    dhf_scr, dcf_scr, dwf_scr, dwihf_scr, dbf_scr,
+                    dhr_scr, dcr_scr, dwr_scr, dwihr_scr, dbr_scr,
+                    *, hidden, spill):
+    tb = pl.program_id(1)
+    bblk = pl.program_id(0)
+    n_tb = pl.num_programs(1)
+
+    @pl.when(tb == 0)
+    def _():
+        for scr in (dhf_scr, dcf_scr, dwf_scr, dwihf_scr, dbf_scr,
+                    dhr_scr, dcr_scr, dwr_scr, dwihr_scr, dbr_scr):
+            scr[:] = jnp.zeros_like(scr)
+
+    def one_direction(x_ref, b_ref, wih_ref, w_ref, hs_ref, hb_ref,
+                      cb_ref, dhs_ref, dx_ref, g_scr, cq_scr, hp_scr,
+                      dh_scr, dc_scr, dw_scr, dwih_scr, db_scr):
+        # h_prev for every in-block step, built with STATIC slices (the
+        # saved hs shifted by one; entry state from the boundary ref)
+        hp_scr[0] = hb_ref[0].astype(jnp.float32)
+        hp_scr[1:] = hs_ref[:spill - 1].astype(jnp.float32)
+
+        # phase 1: gate pre-activations for the WHOLE block — one batched
+        # MXU matmul pair over (spill*bb) rows, zero serial structure
+        xb = x_ref[:]
+        s_, bb_, feat_ = xb.shape
+        xb2 = xb.reshape(s_ * bb_, feat_)
+        hpb = hp_scr[:].reshape(s_ * bb_, hidden)
+        g = (jnp.dot(xb2, wih_ref[:], preferred_element_type=jnp.float32)
+             + jnp.dot(hpb.astype(w_ref.dtype), w_ref[:],
+                       preferred_element_type=jnp.float32)
+             + b_ref[:].astype(jnp.float32))
+        g_scr[:] = g.reshape(s_, bb_, 4 * hidden)
+
+        # phase 2: cell-state reconstruction — serial but elementwise only
+        # (cq slot j holds c BEFORE step j; slot j+1 after)
+        cq_scr[0] = cb_ref[0].astype(jnp.float32)
+
+        def c_step(j, _):
+            gj = g_scr[j]
+            i = jax.nn.sigmoid(gj[:, :hidden])
+            f = jax.nn.sigmoid(gj[:, hidden:2 * hidden])
+            gg = jnp.tanh(gj[:, 2 * hidden:3 * hidden])
+            cq_scr[j + 1] = f * cq_scr[j] + i * gg
+            return 0
+
+        jax.lax.fori_loop(0, spill, c_step, 0)
+
+        # phase 3: reverse walk — one serial matmul per step (dh backprop);
+        # dgates overwrite the gate scratch slot in place
+        def b_step(jj, _):
+            j = spill - 1 - jj
+            gj = g_scr[j]
+            i = jax.nn.sigmoid(gj[:, :hidden])
+            f = jax.nn.sigmoid(gj[:, hidden:2 * hidden])
+            gg = jnp.tanh(gj[:, 2 * hidden:3 * hidden])
+            o = jax.nn.sigmoid(gj[:, 3 * hidden:])
+            c_t = cq_scr[j + 1]
+            c_prev = cq_scr[j]
+            dh = dh_scr[:] + dhs_ref[j]
+            tanh_c = jnp.tanh(c_t)
+            do = dh * tanh_c
+            dc = dc_scr[:] + dh * o * (1 - tanh_c * tanh_c)
+            di = dc * gg
+            df = dc * c_prev
+            dg = dc * i
+            dgates = jnp.concatenate([
+                di * i * (1 - i),
+                df * f * (1 - f),
+                dg * (1 - gg * gg),
+                do * o * (1 - o),
+            ], axis=1)
+            g_scr[j] = dgates
+            dgm = _mm_cast(dgates, w_ref)
+            dh_scr[:] = jnp.dot(dgm, w_ref[:].T.astype(dgm.dtype),
+                                preferred_element_type=jnp.float32)
+            dc_scr[:] = dc * f
+            return 0
+
+        jax.lax.fori_loop(0, spill, b_step, 0)
+
+        # phase 4: dx / weight grads — batched MXU matmuls over the block
+        dgb = g_scr[:].reshape(s_ * bb_, 4 * hidden)
+        dgm = _mm_cast(dgb, wih_ref)
+        dx_ref[:] = jnp.dot(
+            dgm, wih_ref[:].T.astype(dgm.dtype),
+            preferred_element_type=jnp.float32
+        ).reshape(s_, bb_, feat_).astype(dx_ref.dtype)
+        dgs = _mm_cast(dgb, w_ref)
+        dwih_scr[:] += jnp.dot(xb2.T.astype(dgs.dtype), dgs,
+                               preferred_element_type=jnp.float32)
+        dw_scr[:] += jnp.dot(hpb.T.astype(dgs.dtype), dgs,
+                             preferred_element_type=jnp.float32)
+        db_scr[:] += jnp.sum(dgb, axis=0, keepdims=True)
+
+    one_direction(xs_ref, bf_ref, wihf_ref, wf_ref, hsf_ref, hbf_ref,
+                  cbf_ref, dhsf_ref, dxa_ref, gf_scr, cqf_scr, hpf_scr,
+                  dhf_scr, dcf_scr, dwf_scr, dwihf_scr, dbf_scr)
+    one_direction(xr_ref, br_ref, wihr_ref, wr_ref, hsr_ref, hbr_ref,
+                  cbr_ref, dhsr_ref, dxb_ref, gr_scr, cqr_scr, hpr_scr,
+                  dhr_scr, dcr_scr, dwr_scr, dwihr_scr, dbr_scr)
+
+    @pl.when(tb == n_tb - 1)
+    def _():
+        pairs = ((dwf_ref, dwf_scr), (dwr_ref, dwr_scr),
+                 (dwihf_ref, dwihf_scr), (dwihr_ref, dwihr_scr),
+                 (dbf_ref, dbf_scr), (dbr_ref, dbr_scr))
+
+        @pl.when(bblk == 0)
+        def _():
+            for ref, scr in pairs:
+                ref[:] = scr[:]
+
+        @pl.when(bblk > 0)
+        def _():
+            for ref, scr in pairs:
+                ref[:] += scr[:]
+
+        for _, scr in pairs:
+            scr[:] = jnp.zeros_like(scr)
+
+
+def _ffs_prep(x, params):
+    """Like ``_ff_prep`` but pads time to the spill-block multiple."""
+    assert SPILL_BLOCK % TIME_BLOCK == 0, (SPILL_BLOCK, TIME_BLOCK)
+    xs = jnp.swapaxes(x, 0, 1).astype(STORAGE_DTYPE)      # (T, B, F)
+    xr = jnp.flip(xs, axis=0)
+    multiple = (BIDI_BATCH_BLOCK if xs.shape[1] >= BIDI_BATCH_BLOCK else 8)
+    xs, real_b = _pad_batch(xs, multiple)
+    xr, _ = _pad_batch(xr, multiple)
+    xs, real_t = _pad_time_multiple(xs, SPILL_BLOCK)
+    xr, _ = _pad_time_multiple(xr, SPILL_BLOCK)
+
+    def w_of(suffix):
+        wih = params['weight_ih_l0' + suffix].T.astype(STORAGE_DTYPE)
+        b = (params['bias_ih_l0' + suffix]
+             + params['bias_hh_l0' + suffix])[None].astype(jnp.float32)
+        whh = params['weight_hh_l0' + suffix].T.astype(STORAGE_DTYPE)
+        return wih, b, whh
+
+    wihf, bf, wf = w_of('')
+    wihr, br, wr = w_of('_reverse')
+    return xs, xr, wihf, wihr, bf, br, wf, wr, real_b, real_t
+
+
+def _ffs_fwd_impl(xs, xr, wihf, wihr, bf, br, wf, wr):
+    seq_len, b, feat = xs.shape
+    hidden = wf.shape[0]
+    gh = 4 * hidden
+    bb = min(b, BIDI_BATCH_BLOCK)
+    nb = b // bb
+    k = TIME_BLOCK
+    ntb = seq_len // k
+    r = SPILL_BLOCK // k
+    nsb = seq_len // SPILL_BLOCK
+    x_s = pl.BlockSpec((k, bb, feat), lambda i, t: (t, i, 0),
+                       memory_space=pltpu.VMEM)
+    wih_s = pl.BlockSpec((feat, gh), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM)
+    b_s = pl.BlockSpec((1, gh), lambda i, t: (0, 0),
+                       memory_space=pltpu.VMEM)
+    w_s = pl.BlockSpec((hidden, gh), lambda i, t: (0, 0),
+                       memory_space=pltpu.VMEM)
+    h_s = pl.BlockSpec((k, bb, hidden), lambda i, t: (t, i, 0),
+                       memory_space=pltpu.VMEM)
+    bound_s = pl.BlockSpec((1, bb, hidden), lambda i, t: (t, i, 0),
+                           memory_space=pltpu.VMEM)
+    hsf, hsr, cbt_f, cbt_r = pl.pallas_call(
+        functools.partial(_ffs_fwd_kernel, hidden=hidden, time_block=k),
+        grid=(nb, ntb),
+        in_specs=[x_s, x_s, wih_s, wih_s, b_s, b_s, w_s, w_s],
+        out_specs=[h_s, h_s, bound_s, bound_s],
+        # Boundaries in storage dtype: the non-spill backward already reads
+        # its full cs/hp/cp sequences in storage dtype, so bf16 boundaries
+        # are no looser (and 2x smaller residuals under bf16 streaming).
+        out_shape=(
+            [jax.ShapeDtypeStruct((seq_len, b, hidden), xs.dtype)] * 2
+            + [jax.ShapeDtypeStruct((ntb, b, hidden), xs.dtype)] * 2),
+        scratch_shapes=[pltpu.VMEM((bb, hidden), jnp.float32)] * 4,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=INTERPRET,
+    )(xs, xr, wihf, wihr, bf, br, wf, wr)
+    # Per-time-block entry carries -> per-SPILL-block entry carries.
+    return hsf, hsr, cbt_f[::r], cbt_r[::r]
+
+
+@jax.custom_vjp
+def blstm_layer_fullfused_spill(params, x):
+    """Fully-fused bidirectional layer with boundary-spilled residuals.
+
+    x: (B, T, F) -> (B, T, 2H).  Numerically identical forward to
+    ``blstm_layer_fullfused``; the VJP keeps only hs + the c carry at
+    every SPILL_BLOCK'th step boundary (the h carry there is hs itself),
+    so no-remat backward speed fits in HBM at every folded flagship layer
+    simultaneously.
+    """
+    xs, xr, wihf, wihr, bf, br, wf, wr, real_b, real_t = _ffs_prep(x, params)
+    hsf, hsr, *_ = _ffs_fwd_impl(xs, xr, wihf, wihr, bf, br, wf, wr)
+    return _bidi_out(hsf, hsr, real_b, real_t, x.dtype)
+
+
+def _ffs_layer_fwd(params, x):
+    xs, xr, wihf, wihr, bf, br, wf, wr, real_b, real_t = _ffs_prep(x, params)
+    hsf, hsr, cbf, cbr = _ffs_fwd_impl(
+        xs, xr, wihf, wihr, bf, br, wf, wr)
+    out = _bidi_out(hsf, hsr, real_b, real_t, x.dtype)
+    return out, (params, x, hsf, hsr, cbf, cbr, real_b, real_t)
+
+
+def _spill_bwd_bb(feat, hidden, b_pad):
+    """Largest batch block whose backward-kernel VMEM (scratches +
+    double-buffered streamed blocks, with (8, 128)-tile padding) fits the
+    scoped budget.  Chip-measured: bb=256 at feat=513/H=300 allocates
+    104.81M against the 100M limit (and this model predicts 103M), so the
+    513-wide first folded layer drops to bb=128 while the 320-wide layers
+    keep 256."""
+    r128 = lambda v: -(-v // 128) * 128  # noqa: E731
+    gh_p = r128(4 * hidden)
+    h_p = r128(hidden)
+    f_p = r128(feat)
+    s_ = SPILL_BLOCK
+    # weights in (bf16) + weight-grad outs (f32) + weight-grad scratches
+    const = 2 * (f_p * gh_p * 2 + h_p * gh_p * 2 + gh_p * 4
+                 + 2 * (f_p * gh_p * 4 + h_p * gh_p * 4 + gh_p * 4))
+    bb = min(b_pad, BIDI_BATCH_BLOCK)
+    while bb > 8:
+        scr = 2 * (s_ * gh_p * 4 + (s_ + 1) * h_p * 4 + s_ * h_p * 4
+                   + 2 * h_p * 4)
+        stream = 2 * (2 * s_ * f_p * 2 + s_ * h_p * 2 + s_ * h_p * 4
+                      + h_p * 2)
+        if const + bb * (scr + 2 * stream) <= 92 * 1024 * 1024:
+            break
+        bb //= 2
+    return bb
+
+
+def _ffs_layer_bwd(residuals, dout):
+    (params, x, hsf, hsr, cbf, cbr, real_b, real_t) = residuals
+    B, T, feat = x.shape
+    hidden = hsf.shape[-1]
+    gh = 4 * hidden
+
+    xs, xr, wihf, wihr, bf, br, wf, wr, _, _ = _ffs_prep(x, params)
+    seq_len, b_pad = xs.shape[0], xs.shape[1]
+
+    dhsf = jnp.swapaxes(dout[..., :hidden], 0, 1)
+    dhsr = jnp.flip(jnp.swapaxes(dout[..., hidden:], 0, 1), axis=0)
+    pad_t = seq_len - real_t
+    pad_b = b_pad - B
+
+    def pad_ct(d):
+        return jnp.pad(d.astype(jnp.float32),
+                       [(0, pad_t), (0, pad_b), (0, 0)])
+
+    dhsf = pad_ct(dhsf)
+    dhsr = pad_ct(dhsr)
+
+    s_ = SPILL_BLOCK
+    nsb = seq_len // s_
+
+    def hb_of(hs):
+        # h carry entering each spill block: hs one step before the block
+        # start (zeros for block 0) — a strided slice of the forward's own
+        # output, so the forward never stores h boundaries.
+        return jnp.concatenate(
+            [jnp.zeros((1,) + hs.shape[1:], hs.dtype),
+             hs[s_ - 1::s_][:nsb - 1]], axis=0)
+
+    hbf = hb_of(hsf)
+    hbr = hb_of(hsr)
+
+    bb = _spill_bwd_bb(feat, hidden, b_pad)
+    nb = b_pad // bb
+    rev = lambda i, t: ((nsb - 1 - t), i, 0)  # noqa: E731
+    x_s = pl.BlockSpec((s_, bb, feat), rev, memory_space=pltpu.VMEM)
+    wih_s = pl.BlockSpec((feat, gh), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM)
+    b_s = pl.BlockSpec((1, gh), lambda i, t: (0, 0),
+                       memory_space=pltpu.VMEM)
+    w_s = pl.BlockSpec((hidden, gh), lambda i, t: (0, 0),
+                       memory_space=pltpu.VMEM)
+    h_s = pl.BlockSpec((s_, bb, hidden), rev, memory_space=pltpu.VMEM)
+    bound_s = pl.BlockSpec((1, bb, hidden), rev, memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_ffs_bwd_kernel, hidden=hidden, spill=s_),
+        grid=(nb, nsb),
+        in_specs=[x_s, x_s, wih_s, wih_s, b_s, b_s, w_s, w_s,
+                  h_s, bound_s, bound_s, h_s,
+                  h_s, bound_s, bound_s, h_s],
+        out_specs=[x_s, x_s, wih_s, wih_s, b_s, b_s, w_s, w_s],
+        out_shape=[
+            # dx streams in storage dtype (the layer_fused VJP's dxg does
+            # the same); the f32 per-direction sum happens outside.
+            jax.ShapeDtypeStruct((seq_len, b_pad, feat), xs.dtype),
+            jax.ShapeDtypeStruct((seq_len, b_pad, feat), xs.dtype),
+            jax.ShapeDtypeStruct((feat, gh), jnp.float32),
+            jax.ShapeDtypeStruct((feat, gh), jnp.float32),
+            jax.ShapeDtypeStruct((1, gh), jnp.float32),
+            jax.ShapeDtypeStruct((1, gh), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, gh), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, gh), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s_, bb, gh), jnp.float32),       # gf
+            pltpu.VMEM((s_, bb, gh), jnp.float32),       # gr
+            pltpu.VMEM((s_ + 1, bb, hidden), jnp.float32),  # cqf
+            pltpu.VMEM((s_ + 1, bb, hidden), jnp.float32),  # cqr
+            pltpu.VMEM((s_, bb, hidden), jnp.float32),   # hpf
+            pltpu.VMEM((s_, bb, hidden), jnp.float32),   # hpr
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((hidden, gh), jnp.float32),
+            pltpu.VMEM((feat, gh), jnp.float32),
+            pltpu.VMEM((1, gh), jnp.float32),
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((bb, hidden), jnp.float32),
+            pltpu.VMEM((hidden, gh), jnp.float32),
+            pltpu.VMEM((feat, gh), jnp.float32),
+            pltpu.VMEM((1, gh), jnp.float32),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=INTERPRET,
+    )(xs, xr, wihf, wihr, bf, br, wf, wr,
+      hsf, hbf, cbf, dhsf, hsr, hbr, cbr, dhsr)
+    dxa, dxb, dwihf, dwihr, dbf, dbr, dwhf, dwhr = outs
+
+    dxa = dxa[:real_t, :B].astype(jnp.float32)
+    dxb = jnp.flip(dxb[:real_t], axis=0)[:, :B].astype(jnp.float32)
+    dx = jnp.swapaxes(dxa + dxb, 0, 1).astype(x.dtype)
+
+    d_params = {}
+    for suffix, dwih, db, dwhh in (('', dwihf, dbf, dwhf),
+                                   ('_reverse', dwihr, dbr, dwhr)):
+        d_params['weight_ih_l0' + suffix] = dwih.T
+        d_params['bias_ih_l0' + suffix] = db[0]
+        d_params['bias_hh_l0' + suffix] = db[0]
+        d_params['weight_hh_l0' + suffix] = dwhh.T
+    return d_params, dx
+
+
+blstm_layer_fullfused_spill.defvjp(_ffs_layer_fwd, _ffs_layer_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -156,6 +156,19 @@ def _blstm_fullfused(params, x, hidden_size, bidirectional):
     return blstm_layer_fullfused(params, x)
 
 
+def _blstm_spill(params, x, hidden_size, bidirectional):
+    from tssep_tpu.kernels.blstm import blstm_layer_fullfused_spill
+    return blstm_layer_fullfused_spill(params, x)
+
+
+#: Remat'd spill layer: residual = x only; the backward re-runs the spill
+#: forward (cheaper than the fullfused forward — no cs writes) and then the
+#: restructured spill backward.  Used for the layers whose (x, dx, hs)
+#: working set is too fat to keep live (the 513-wide first folded layer at
+#: flagship batch 256: chip-measured 155 MB over HBM with no remat at all).
+_blstm_spill_remat = jax.checkpoint(_blstm_spill, static_argnums=(2, 3))
+
+
 #: Remat'd fully-fused layer: without this, every folded (B*S) layer keeps
 #: its hs/cs residuals (~1.5 GB bf16 at flagship dims) alive until its
 #: backward runs — chip-measured HBM OOM at batch 256.  Under checkpoint
@@ -198,6 +211,19 @@ FULLFUSE = os.environ.get('TSSEP_PALLAS_FULLFUSE', '1') != '0'
 FULLFUSE_MAX_INPUT = int(os.environ.get('TSSEP_PALLAS_FULLFUSE_MAX_INPUT',
                                         '2048'))
 
+#: Block-spilled fully-fused layer (kernels/blstm.py
+#: ``blstm_layer_fullfused_spill``): residuals are hs + per-SPILL_BLOCK
+#: c boundaries instead of the full hs/cs sequences — no-remat
+#: backward speed (restructured: the only serial matmul is the dh
+#: backprop) at BELOW-remat-default memory, for EVERY fullfuse-eligible
+#: layer at once.  When on, it replaces both the remat and the
+#: NO_REMAT_FOLDED strategies for those layers (the caller's remat flag
+#: is ignored unless TSSEP_PALLAS_SPILL_REMAT=1: re-running the forward
+#: is exactly what the spilled residuals make unnecessary).  Opt-in
+#: pending chip verification (tools/check_bidi.py SPILL section).
+SPILL = os.environ.get('TSSEP_PALLAS_SPILL', '0') != '0'
+SPILL_REMAT = os.environ.get('TSSEP_PALLAS_SPILL_REMAT', '0') != '0'
+
 #: Number of FOLDED (B*S-batch) post-net layers to run WITHOUT remat,
 #: counted from the last folded layer backwards — each one trades
 #: ~1.5 GB HBM (hs/cs residuals at flagship dims) for skipping the remat
@@ -221,7 +247,11 @@ def blstm_apply(params, x, *, hidden_size: int, bidirectional=True,
     if impl == 'pallas':
         if (bidirectional and FULLFUSE
                 and x.shape[-1] <= FULLFUSE_MAX_INPUT):
-            fn = _blstm_fullfused_remat if remat else _blstm_fullfused
+            if SPILL:
+                fn = (_blstm_spill_remat if (remat and SPILL_REMAT)
+                      else _blstm_spill)
+            else:
+                fn = _blstm_fullfused_remat if remat else _blstm_fullfused
             return fn(params, x, hidden_size, bidirectional)
         if bidirectional and (LAYER_VJP or FULLFUSE):
             # Wide layers (> FULLFUSE_MAX_INPUT, i.e. the ts_vad stacked

@@ -298,11 +298,32 @@ class STFT:
             # numpy path and is unaffected.
             re, im = re.astype(jnp.bfloat16), im.astype(jnp.bfloat16)
         dtype = re.dtype
+        w = self.synthesis_window
+        total = (frames - 1) * self.shift + self.window_length
+        if self.window_length % self.shift == 0:
+            # Piece-wise synthesis: never materialize the full
+            # (..., frames, window_length) segment tensor — at flagship
+            # train dims that tensor is (B, S, T, 1024) f32 = 2.5 GB and
+            # its overlap-add reshuffle another 2.5 GB, the largest
+            # transients of the whole step (chip OOM evidence, round 4).
+            # Window folded into the DFT bases: (re @ icos) * w ==
+            # re @ (icos * w); each shift-wide column block is one MXU
+            # matmul and one shifted accumulate.
+            k = self.window_length // self.shift
+            nblocks = frames + k - 1
+            out = jnp.zeros(S.shape[:-2] + (nblocks, self.shift),
+                            dtype=dtype)
+            for i in range(k):
+                sl = slice(i * self.shift, (i + 1) * self.shift)
+                icos_i = jnp.asarray(icos_m[:, sl] * w[sl], dtype)
+                isin_i = jnp.asarray(isin_m[:, sl] * w[sl], dtype)
+                piece = _mm(re, icos_i) + _mm(im, isin_i)
+                out = out.at[..., i:i + frames, :].add(piece)
+            out = out.reshape(S.shape[:-2] + (nblocks * self.shift,))
+            return self._trim(out[..., :total], num_samples)
         segs = (_mm(re, jnp.asarray(icos_m, dtype))
                 + _mm(im, jnp.asarray(isin_m, dtype)))
-        w = jnp.asarray(self.synthesis_window, dtype=segs.dtype)
-        segs = segs * w
-        total = (frames - 1) * self.shift + self.window_length
+        segs = segs * jnp.asarray(w, dtype=segs.dtype)
         out = _overlap_add_jax(segs, self.shift, total)
         return self._trim(out, num_samples)
 
