@@ -39,6 +39,21 @@ def test_diarize_from_activity():
     assert dia[1].normalized_intervals == ((50, 80),)
 
 
+def test_diarize_merge_gap():
+    """merge_gap bridges in-turn pauses (word corpora) but not real
+    inter-turn silence; min_frames applies after the merge."""
+    act = np.zeros((1, 100))
+    act[0, 10:20] = 1.0
+    act[0, 26:36] = 1.0   # 6-frame pause: in-turn
+    act[0, 70:72] = 1.0   # far + short: separate, dropped by min_frames
+    dia = diarize_from_activity(act, threshold=0.5, smooth_kernel=1,
+                                min_frames=4, merge_gap=8)
+    assert dia[0].normalized_intervals == ((10, 36),)
+    dia = diarize_from_activity(act, threshold=0.5, smooth_kernel=1,
+                                min_frames=4, merge_gap=0)
+    assert dia[0].normalized_intervals == ((10, 20), (26, 36))
+
+
 def _tiny_model():
     return Model.new({
         'fe': {'size': 64, 'shift': 32, 'window_length': 64},

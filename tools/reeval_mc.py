@@ -29,11 +29,23 @@ def main(work_dir='egs/simulated_mc', suffix='_reeval'):
     for p in shards.values():
         assert p.exists(), p
 
+    # Word-vocabulary run (ctc_asr.npz saved by run_simulated): score
+    # cpWER with the trained recognizer and bridge in-turn word gaps.
+    transcriber = None
+    overrides = None
+    asr_path = work_dir / 'ctc_asr.npz'
+    if asr_path.exists():
+        from tssep_tpu.eval.ctc import CTCRecognizer
+        transcriber = CTCRecognizer().load(asr_path)
+        overrides = {'merge_gap_frames': int(0.45 * 16000 / 256) + 1}
+        print(f'Loaded CTC recognizer from {asr_path}; '
+              f'merge_gap_frames={overrides["merge_gap_frames"]}')
+
     cfg = _config(work_dir, shards, 'tsvad', 800, 8, 513)
     eg = from_config(Experiment.get_config(cfg))
     print('=== Re-eval: TS-VAD (diarization)')
     vad_metrics = evaluate(
-        eg, beamform=False,
+        eg, beamform=False, driver_overrides=overrides,
         out=work_dir / 'tsvad' / f'eval{suffix}')
 
     ckpt = work_dir / 'tsvad' / 'checkpoints' / 'ckpt_best_loss.npz'
@@ -41,17 +53,21 @@ def main(work_dir='egs/simulated_mc', suffix='_reeval'):
     eg2 = from_config(Experiment.get_config(cfg2))
     print('=== Re-eval: TS-SEP (masking)')
     sep_metrics = evaluate(
-        eg2, beamform=False,
+        eg2, beamform=False, transcriber=transcriber,
+        driver_overrides=overrides,
         out=work_dir / 'tssep' / f'eval{suffix}')
     print('=== Re-eval: TS-SEP (MVDR)')
     bf_metrics = evaluate(
-        eg2, beamform=True,
+        eg2, beamform=True, transcriber=transcriber,
+        driver_overrides=overrides,
         out=work_dir / 'tssep' / f'eval_bf{suffix}')
     cmp = {
         'masking_si_sdr': sep_metrics['summary'].get('mean_si_sdr'),
         'mvdr_si_sdr': bf_metrics['summary'].get('mean_si_sdr'),
         'tsvad_der': vad_metrics['summary'].get('mean_der'),
         'tssep_der': sep_metrics['summary'].get('mean_der'),
+        'masking_cp_wer': sep_metrics['summary'].get('mean_cp_wer'),
+        'mvdr_cp_wer': bf_metrics['summary'].get('mean_cp_wer'),
     }
     print('=== Masking vs MVDR (re-eval):', cmp)
     return cmp

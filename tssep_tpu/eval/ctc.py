@@ -218,6 +218,7 @@ class CTCRecognizer(Transcriber):
                 d = d.setdefault(p, {})
             d[parts[-1]] = v
         self.params = params
+        self.vocabulary = int(params['head']['bias'].size - 1)
         return self
 
 

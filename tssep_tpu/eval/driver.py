@@ -90,16 +90,31 @@ def median_smooth(activity, kernel=11):
 
 
 def diarize_from_activity(activity, threshold=0.5, smooth_kernel=11,
-                          min_frames=0):
-    """(spk, frames) scores -> list of per-speaker ArrayIntervals."""
+                          min_frames=0, merge_gap=0):
+    """(spk, frames) scores -> list of per-speaker ArrayIntervals.
+
+    ``merge_gap``: bridge silences shorter than this many frames before
+    the ``min_frames`` filter — standard diarization post-processing for
+    speech with in-turn pauses (the word-vocabulary corpora pause
+    ~0.25 s between words while the reference activity is turn-level)."""
     act = np.asarray(activity) > threshold
     act = median_smooth(act, smooth_kernel)
     out = []
     for row in act:
         ai = ArrayInterval(row)
+        ivs = ai.normalized_intervals
+        if merge_gap and len(ivs) > 1:
+            merged = [list(ivs[0])]
+            for s, e in ivs[1:]:
+                if s - merged[-1][1] < merge_gap:
+                    merged[-1][1] = e
+                else:
+                    merged.append([s, e])
+            ivs = [tuple(iv) for iv in merged]
+            ai = ArrayInterval(ivs, shape=len(row))
         if min_frames:
             ai = ArrayInterval(
-                [iv for iv in ai.normalized_intervals
+                [iv for iv in ivs
                  if iv[1] - iv[0] >= min_frames], shape=len(row))
         out.append(ai)
     return out
@@ -226,13 +241,21 @@ class EvalDriver:
     vad_threshold: float = 0.5
     smooth_kernel: int = 11
     min_frames: int = 3
+    #: Bridge sub-gap silences when diarizing (frames; 0 = off).  Set for
+    #: corpora whose reference activity is turn-level while the speech
+    #: pauses within turns (word-vocabulary simulations).
+    merge_gap_frames: int = 0
+    #: Activity statistic, forwarded to :class:`ChunkedMaskEstimator`.
+    activity_stat: str = None
 
     def __post_init__(self):
         if self.enhancer is None:
             self.enhancer = ClassicBF()
+        extra = ({'activity_stat': self.activity_stat}
+                 if self.activity_stat else {})
         self.chunked = ChunkedMaskEstimator(
             self.model, chunk_frames=self.chunk_frames,
-            hop_frames=self.hop_frames)
+            hop_frames=self.hop_frames, **extra)
 
     def run_recording(self, params, observation, aux, num_samples=None,
                       beamform=None):
@@ -250,7 +273,8 @@ class EvalDriver:
 
         masks, activity = self.chunked(params, obs_stft, aux)
         dia = diarize_from_activity(
-            activity, self.vad_threshold, self.smooth_kernel, self.min_frames)
+            activity, self.vad_threshold, self.smooth_kernel,
+            self.min_frames, self.merge_gap_frames)
 
         if beamform is None:
             beamform = observation.shape[0] >= 6
@@ -348,7 +372,7 @@ def _wav_write_py(path, sig, sample_rate):
 
 
 def calibration_stats(activities, references, thresholds=None,
-                      smooth_kernel=11, min_frames=0):
+                      smooth_kernel=11, min_frames=0, merge_gap=0):
     """Per-threshold (error, reference) frame totals for the local
     calibration examples.  Returns (thresholds, err, ref) float64 arrays —
     the sufficient statistic for threshold selection, additive across
@@ -364,7 +388,8 @@ def calibration_stats(activities, references, thresholds=None,
         for act, ref in zip(activities, references):
             hyp = np.stack([np.asarray(ai, dtype=bool)
                             for ai in diarize_from_activity(
-                                act, th, smooth_kernel, min_frames)])
+                                act, th, smooth_kernel, min_frames,
+                                merge_gap)])
             ref = np.asarray(ref, dtype=bool)
             frames = min(ref.shape[-1], hyp.shape[-1])
             r = der(ref[..., :frames], hyp[..., :frames])
@@ -374,7 +399,8 @@ def calibration_stats(activities, references, thresholds=None,
 
 
 def calibrate_threshold(activities, references, thresholds=None,
-                        smooth_kernel=11, min_frames=0, cross_host=True):
+                        smooth_kernel=11, min_frames=0, merge_gap=0,
+                        cross_host=True):
     """Pick the activity threshold minimizing DER over a calibration set.
 
     activities: list of (spk, frames) scores; references: list of matching
@@ -387,7 +413,8 @@ def calibrate_threshold(activities, references, thresholds=None,
     no-op.  Returns (best_threshold, best_der).
     """
     ths, err, ref_tot = calibration_stats(
-        activities, references, thresholds, smooth_kernel, min_frames)
+        activities, references, thresholds, smooth_kernel, min_frames,
+        merge_gap)
     if cross_host:
         import jax
         if jax.process_count() > 1:

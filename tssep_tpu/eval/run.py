@@ -59,7 +59,7 @@ def degenerate_problems(calibration, summary, records):
 
 
 def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None,
-             transcriber=None, strict=False):
+             transcriber=None, strict=False, driver_overrides=None):
     """Run the eval driver for an Experiment; returns the metrics dict.
 
     ``transcriber``: optional ASR hook ``(samples, sample_rate) -> str``;
@@ -89,7 +89,10 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None,
     out_dir.mkdir(parents=True, exist_ok=True)
 
     model = trainer.model
-    driver = EvalDriver(model)
+    # driver_overrides: EvalDriver field overrides (e.g. merge_gap_frames
+    # for corpora whose reference activity is turn-level while the speech
+    # pauses within turns, or activity_stat='q90').
+    driver = EvalDriver(model, **(driver_overrides or {}))
 
     # Diarization threshold calibration on the validation set (when it has
     # reference activity) — reference workflow's 'domain adaptation' step.
@@ -114,7 +117,8 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None,
         if acts:
             th, cal_der = calibrate_threshold(
                 acts, refs, smooth_kernel=driver.smooth_kernel,
-                min_frames=driver.min_frames)
+                min_frames=driver.min_frames,
+                merge_gap=driver.merge_gap_frames)
             print(f'Calibrated VAD threshold: {th:.2f} '
                   f'(calibration DER {cal_der:.3f})')
             driver.vad_threshold = th

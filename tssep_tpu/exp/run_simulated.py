@@ -156,17 +156,30 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
     eg2 = from_config(Experiment.get_config(cfg))
     eg2.train()
 
-    # 4. score both stages on the (longer) eval meetings
+    # 4. score both stages on the (longer) eval meetings.  Word corpora
+    # pause ~(word_gap + trailing off slots) between words while the
+    # reference activity is turn-level -> bridge sub-0.45 s silences when
+    # diarizing (standard post-processing; tuned to the simulator's gap).
+    overrides = None
+    if vocabulary:
+        sim0 = MeetingSimulator(duration=duration, aux_size=aux_size,
+                                vocabulary=vocabulary)
+        gap_sec = sim0.word_gap_sec + 2 * sim0.word_sec / 6 + 0.1
+        fe = eg2.trainer.model.fe
+        frames = int(gap_sec * 16000 / fe.shift) + 1
+        overrides = {'merge_gap_frames': frames}
     print('=== Eval: TS-VAD (diarization)')
-    vad_metrics = evaluate(eg, beamform=False)
+    vad_metrics = evaluate(eg, beamform=False, driver_overrides=overrides)
     print('=== Eval: TS-SEP (separation, masking)')
-    sep_metrics = evaluate(eg2, beamform=False, transcriber=transcriber)
+    sep_metrics = evaluate(eg2, beamform=False, transcriber=transcriber,
+                           driver_overrides=overrides)
     if num_channels >= 6:
         # Multichannel rehearsal: the full ClassicBF MVDR path (per-VAD-
         # segment PSDs + Souden beamforming, reference enhancer.py:451-548)
         # against plain masking on the same masks/diarization.
         print('=== Eval: TS-SEP (separation, MVDR beamforming)')
         bf_metrics = evaluate(eg2, beamform=True, transcriber=transcriber,
+                              driver_overrides=overrides,
                               out=Path(eg2.trainer.storage_dir) / 'eval_bf')
         # A "comparison" in which the beamformer never ran is not a
         # comparison (round-3 failure mode: DER 1.0 -> zero diarized
