@@ -199,6 +199,25 @@ def test_fullfused_spill_batch_padding(kb, data):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_spill_bwd_bb_vmem_model():
+    """The backward batch-block model reproduces the chip measurement:
+    bb=256 at feat=513/H=300 allocates 104.81M against the 100M scoped
+    limit (so 513 drops to 128) while the 320-wide layers keep 256.
+
+    Pins BIDI_BATCH_BLOCK to the production 256 for the duration (the
+    module-scoped ``kb`` fixture may have shrunk it to 8)."""
+    from tssep_tpu.kernels import blstm as kb_real
+    saved = kb_real.BIDI_BATCH_BLOCK
+    kb_real.BIDI_BATCH_BLOCK = 256
+    try:
+        assert kb_real._spill_bwd_bb(513, 300, 2048) == 128
+        assert kb_real._spill_bwd_bb(320, 300, 2048) == 256
+        # small problems keep the full (padded) batch
+        assert kb_real._spill_bwd_bb(16, 8, 8) == 8
+    finally:
+        kb_real.BIDI_BATCH_BLOCK = saved
+
+
 def test_fullfused_spill_multi_block_grads(kb, data):
     """Sequence long enough for several spill blocks AND several time
     blocks per spill block (dh/dc carries must flow across both)."""

@@ -325,14 +325,33 @@ class EvalDriver:
         ``reference_transcripts``: one transcript (string or utterance
         list) per reference speaker; ``transcriber``: any callable
         ``(samples, sample_rate) -> str`` (``eval.wer.Transcriber``
-        contract).  Each estimated stream is transcribed and the
-        hypothesis->reference speaker assignment minimizing total word
-        errors is used (output order is arbitrary -> cpWER, not plain
-        WER).  Returns the flat dict for metrics.json.
+        contract).  Each estimated stream is transcribed SEGMENT-WISE
+        over its own diarization (plus a small collar) and the per-
+        segment hypotheses joined in time order — the reference emits
+        per-segment WAVs for ASR (enhancer.py:451+), and recognizers are
+        trained on utterance-length audio, not 10s+ mostly-silent
+        streams (whole-stream decoding measured deletion-dominated:
+        cp_wer 0.89 with 25-30/32 deletions on the chip vocab
+        rehearsal).  The hypothesis->reference speaker assignment
+        minimizing total word errors is used (output order is arbitrary
+        -> cpWER, not plain WER).  Returns the flat dict for
+        metrics.json.
         """
         from tssep_tpu.eval.wer import cp_wer
         est = np.asarray(result['time_estimate'])
-        hyps = [transcriber(stream, sample_rate) for stream in est]
+        collar = int(0.12 * sample_rate)
+        hyps = []
+        for spk, stream in enumerate(est):
+            dia = result.get('sample_dia')
+            if dia is not None and len(dia[spk].normalized_intervals):
+                parts = []
+                for s, e in dia[spk].normalized_intervals:
+                    s = max(0, int(s) - collar)
+                    e = min(len(stream), int(e) + collar)
+                    parts.append(transcriber(stream[s:e], sample_rate))
+                hyps.append(' '.join(p for p in parts if p))
+            else:
+                hyps.append(transcriber(stream, sample_rate))
         res, assignment = cp_wer(reference_transcripts, hyps,
                                  return_assignment=True)
         out = {f'wer_{k}': v for k, v in res.as_dict().items()}
