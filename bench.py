@@ -42,6 +42,11 @@ os.environ.setdefault('TSSEP_PALLAS_BATCH_BLOCK', '256')
 os.environ.setdefault('TSSEP_COMPUTE_DTYPE', 'bfloat16')
 os.environ.setdefault('TSSEP_PALLAS_TIME_BLOCK', '4')
 os.environ.setdefault('TSSEP_DFT_PRECISION', 'default')
+# bf16 head/loss path: halves the (B,S,T,F) mask-path HBM traffic —
+# chip-measured +11.2% (2457 -> 2733 audio-s/s); training-quality
+# neutral in the 60-iteration two-stage A/B (losses track to ~4 decimal
+# places both stages, TODO.md round 4).
+os.environ.setdefault('TSSEP_HEAD_BF16', '1')
 
 CLIP_SECONDS = 5
 

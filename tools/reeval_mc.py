@@ -51,15 +51,18 @@ def main(work_dir='egs/simulated_mc', suffix='_reeval'):
     ckpt = work_dir / 'tsvad' / 'checkpoints' / 'ckpt_best_loss.npz'
     cfg2 = _config(work_dir, shards, 'tssep', 800, 8, 513, checkpoint=ckpt)
     eg2 = from_config(Experiment.get_config(cfg2))
-    print('=== Re-eval: TS-SEP (masking)')
+    import os
+    joint = os.environ.get('TSSEP_REEVAL_JOINT', '0') != '0'
+    dia_eg = eg if joint else None
+    print(f'=== Re-eval: TS-SEP (masking){" [joint dia]" if joint else ""}')
     sep_metrics = evaluate(
         eg2, beamform=False, transcriber=transcriber,
-        driver_overrides=overrides,
+        driver_overrides=overrides, dia_eg=dia_eg,
         out=work_dir / 'tssep' / f'eval{suffix}')
-    print('=== Re-eval: TS-SEP (MVDR)')
+    print(f'=== Re-eval: TS-SEP (MVDR){" [joint dia]" if joint else ""}')
     bf_metrics = evaluate(
         eg2, beamform=True, transcriber=transcriber,
-        driver_overrides=overrides,
+        driver_overrides=overrides, dia_eg=dia_eg,
         out=work_dir / 'tssep' / f'eval_bf{suffix}')
     cmp = {
         'masking_si_sdr': sep_metrics['summary'].get('mean_si_sdr'),

@@ -247,6 +247,14 @@ class EvalDriver:
     merge_gap_frames: int = 0
     #: Activity statistic, forwarded to :class:`ChunkedMaskEstimator`.
     activity_stat: str = None
+    #: Optional SECOND model supplying the diarization (the canonical
+    #: TS-SEP deployment: the TS-VAD stage's activity drives segmentation
+    #: — it is trained on activity and diarizes far better than
+    #: mask-derived activity — while this driver's main model supplies
+    #: the separation masks).  Reference workflow: the VAD estimates
+    #: drive the enhancer's segment loop (enhancer.py:451+).
+    dia_model: object = None
+    dia_params: object = None
 
     def __post_init__(self):
         if self.enhancer is None:
@@ -256,6 +264,20 @@ class EvalDriver:
         self.chunked = ChunkedMaskEstimator(
             self.model, chunk_frames=self.chunk_frames,
             hop_frames=self.hop_frames, **extra)
+        self.dia_chunked = None
+        if self.dia_model is not None:
+            self.dia_chunked = ChunkedMaskEstimator(
+                self.dia_model, chunk_frames=self.chunk_frames,
+                hop_frames=self.hop_frames, **extra)
+
+    def activity(self, params, obs_stft, aux):
+        """Frame activity from the diarization source: the ``dia_model``
+        when configured, else the main model's own mask statistic."""
+        if self.dia_chunked is not None:
+            _, activity = self.dia_chunked(self.dia_params, obs_stft, aux)
+        else:
+            _, activity = self.chunked(params, obs_stft, aux)
+        return activity
 
     def run_recording(self, params, observation, aux, num_samples=None,
                       beamform=None):
@@ -272,6 +294,8 @@ class EvalDriver:
         obs_stft = self.model.fe.stft(observation)  # (mic, T, F)
 
         masks, activity = self.chunked(params, obs_stft, aux)
+        if self.dia_chunked is not None:
+            _, activity = self.dia_chunked(self.dia_params, obs_stft, aux)
         dia = diarize_from_activity(
             activity, self.vad_threshold, self.smooth_kernel,
             self.min_frames, self.merge_gap_frames)

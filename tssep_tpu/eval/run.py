@@ -59,7 +59,8 @@ def degenerate_problems(calibration, summary, records):
 
 
 def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None,
-             transcriber=None, strict=False, driver_overrides=None):
+             transcriber=None, strict=False, driver_overrides=None,
+             dia_eg=None):
     """Run the eval driver for an Experiment; returns the metrics dict.
 
     ``transcriber``: optional ASR hook ``(samples, sample_rate) -> str``;
@@ -92,7 +93,20 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None,
     # driver_overrides: EvalDriver field overrides (e.g. merge_gap_frames
     # for corpora whose reference activity is turn-level while the speech
     # pauses within turns, or activity_stat='q90').
-    driver = EvalDriver(model, **(driver_overrides or {}))
+    overrides = dict(driver_overrides or {})
+    if dia_eg is not None:
+        # Canonical joint deployment: diarization from the (TS-VAD)
+        # stage trained on activity; masks from this experiment's model.
+        dia_trainer = dia_eg.trainer
+        dia_trainer.ensure_init()
+        dia_ckpt = dia_trainer.checkpoint_dir / 'ckpt_best_loss.npz'
+        if dia_ckpt.exists():
+            dia_trainer.load(dia_ckpt)
+            print(f'Diarization from {dia_ckpt} '
+                  f'(iteration {dia_trainer.iteration})')
+        overrides.update(dia_model=dia_trainer.model,
+                         dia_params=dia_trainer.params)
+    driver = EvalDriver(model, **overrides)
 
     # Diarization threshold calibration on the validation set (when it has
     # reference activity) — reference workflow's 'domain adaptation' step.
@@ -106,9 +120,9 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None,
             if i >= 4 or 'vad' not in ex:
                 break
             obs_stft = model.fe.stft(np.asarray(ex['observation']))
-            _, activity = driver.chunked(trainer.params,
-                                         np.asarray(obs_stft),
-                                         np.asarray(ex['auxInput']))
+            activity = driver.activity(trainer.params,
+                                       np.asarray(obs_stft),
+                                       np.asarray(ex['auxInput']))
             ref = np.asarray(stft_vad(np.asarray(ex['vad']),
                                       model.fe.window_length, model.fe.shift,
                                       model.fe.fading), dtype=bool)

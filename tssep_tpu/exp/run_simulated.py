@@ -176,11 +176,21 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
     if num_channels >= 6:
         # Multichannel rehearsal: the full ClassicBF MVDR path (per-VAD-
         # segment PSDs + Souden beamforming, reference enhancer.py:451-548)
-        # against plain masking on the same masks/diarization.
-        print('=== Eval: TS-SEP (separation, MVDR beamforming)')
-        bf_metrics = evaluate(eg2, beamform=True, transcriber=transcriber,
-                              driver_overrides=overrides,
-                              out=Path(eg2.trainer.storage_dir) / 'eval_bf')
+        # against plain masking — in the CANONICAL JOINT deployment:
+        # diarization from the TS-VAD stage (trained on activity, DER
+        # ~0.01) and masks from the TS-SEP stage.  Mask-derived activity
+        # diarizes far worse (~0.39 on the word corpus) and its misses
+        # dominate every downstream metric.
+        joint = {'dia_eg': eg, 'driver_overrides': overrides,
+                 'transcriber': transcriber}
+        print('=== Eval: joint (TS-VAD dia + TS-SEP masks), masking')
+        sep_metrics = evaluate(
+            eg2, beamform=False,
+            out=Path(eg2.trainer.storage_dir) / 'eval_joint', **joint)
+        print('=== Eval: joint (TS-VAD dia + TS-SEP masks), MVDR')
+        bf_metrics = evaluate(
+            eg2, beamform=True,
+            out=Path(eg2.trainer.storage_dir) / 'eval_joint_bf', **joint)
         # A "comparison" in which the beamformer never ran is not a
         # comparison (round-3 failure mode: DER 1.0 -> zero diarized
         # segments -> both paths emitted byte-identical silence).  The
