@@ -54,6 +54,12 @@ def main(work_dir='egs/simulated_mc', suffix='_reeval'):
     import os
     joint = os.environ.get('TSSEP_REEVAL_JOINT', '0') != '0'
     dia_eg = eg if joint else None
+    pm = float(os.environ.get('TSSEP_REEVAL_POSTMASK', '0') or 0)
+    if pm:
+        from tssep_tpu.eval.classic_bf import ClassicBF
+        overrides = dict(overrides or {})
+        overrides['enhancer'] = ClassicBF(masking=True, masking_eps=pm)
+        print(f'MVDR post-mask floor eps={pm}')
     print(f'=== Re-eval: TS-SEP (masking){" [joint dia]" if joint else ""}')
     sep_metrics = evaluate(
         eg2, beamform=False, transcriber=transcriber,

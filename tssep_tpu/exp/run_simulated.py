@@ -191,6 +191,19 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
         bf_metrics = evaluate(
             eg2, beamform=True,
             out=Path(eg2.trainer.storage_dir) / 'eval_joint_bf', **joint)
+        # MVDR + mask post-filter (reference enhancer.py:542-545: the
+        # distortionless beamformer keeps noise/leakage in speech gaps;
+        # flooring the target mask on top restores the gap structure).
+        from tssep_tpu.eval.classic_bf import ClassicBF
+        joint_pm = dict(joint)
+        joint_pm['driver_overrides'] = dict(overrides or {})
+        joint_pm['driver_overrides']['enhancer'] = ClassicBF(
+            masking=True, masking_eps=0.3)
+        print('=== Eval: joint, MVDR + mask postfilter (eps 0.3)')
+        bfpm_metrics = evaluate(
+            eg2, beamform=True,
+            out=Path(eg2.trainer.storage_dir) / 'eval_joint_bfpm',
+            **joint_pm)
         # A "comparison" in which the beamformer never ran is not a
         # comparison (round-3 failure mode: DER 1.0 -> zero diarized
         # segments -> both paths emitted byte-identical silence).  The
@@ -220,10 +233,13 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
         cmp = {
             'masking_si_sdr': sep_metrics['summary'].get('mean_si_sdr'),
             'mvdr_si_sdr': bf_metrics['summary'].get('mean_si_sdr'),
+            'mvdr_pm_si_sdr': bfpm_metrics['summary'].get('mean_si_sdr'),
         }
         if transcriber is not None:
             cmp['masking_cp_wer'] = sep_metrics['summary'].get('mean_cp_wer')
             cmp['mvdr_cp_wer'] = bf_metrics['summary'].get('mean_cp_wer')
+            cmp['mvdr_pm_cp_wer'] = bfpm_metrics['summary'].get(
+                'mean_cp_wer')
         print('=== Masking vs MVDR:', cmp)
         return vad_metrics, sep_metrics, bf_metrics
     return vad_metrics, sep_metrics
