@@ -140,6 +140,14 @@ class CTCRecognizer(Transcriber):
             noise = rng.randn(num_samples).astype(np.float32)
             p_sig = np.mean(sig ** 2) + 1e-9
             noise *= np.sqrt(p_sig / np.mean(noise ** 2) / 10 ** (snr / 10))
+            # NOTE on cross-talk augmentation (tried, reverted, round 4):
+            # mixing a competing speaker's words at SIR 5-22 into training
+            # regressed CLEAN WER 0.056 -> ~0.28 without helping leaky
+            # eval audio — rhythm words carry identity in the energy
+            # envelope, so 'target vs leak' is intrinsically ambiguous to
+            # a monophonic recognizer.  The principled fix is at the
+            # ENHANCER: the MVDR mask post-filter (ClassicBF masking=True)
+            # restores the gap structure and measured the best cpWER.
             f = self.features(sig + noise)
             fp = np.zeros(max_frames, dtype=np.float32)
             fp[f.shape[0]:] = 1.0
