@@ -245,6 +245,39 @@ def test_eval_cli(tmp_path):
     assert len(wavs) == 2 * 8  # 2 recordings x 8 speakers
 
 
+def test_eval_joint_dia(tmp_path):
+    """evaluate(dia_eg=...) — the canonical joint deployment: diarization
+    (activity + threshold calibration) comes from the dia experiment's
+    model, masks from the main experiment's.  Validated by making the
+    dia model a DIFFERENT training state and checking its checkpoint is
+    what gets loaded for diarization."""
+    config = _load_reduced('init_cfg_tsvad.yaml', tmp_path / 'vad')
+    nv = NestedView(config)
+    nv['eg.trainer.stop_trigger'] = [3, 'iteration']
+    eg_vad = from_config(Experiment.get_config(config['eg']))
+    eg_vad.train()
+
+    config2 = _load_reduced('init_cfg_tsvad.yaml', tmp_path / 'sep')
+    nv2 = NestedView(config2)
+    nv2['eg.trainer.stop_trigger'] = [2, 'iteration']
+    eg_sep = from_config(Experiment.get_config(config2['eg']))
+    eg_sep.train()
+
+    from tssep_tpu.eval.run import evaluate
+    eg_sep2 = from_config(Experiment.get_config(
+        _load_reduced('init_cfg_tsvad.yaml', tmp_path / 'sep')['eg']))
+    eg_vad2 = from_config(Experiment.get_config(
+        _load_reduced('init_cfg_tsvad.yaml', tmp_path / 'vad')['eg']))
+    metrics = evaluate(eg_sep2, limit=1, dia_eg=eg_vad2,
+                       out=tmp_path / 'joint_out')
+    assert metrics['summary']['num_recordings'] == 1
+    # the dia experiment's best checkpoint was loaded for diarization
+    assert eg_vad2.trainer.iteration == 3
+    # and the main model's own checkpoint drives the masks
+    assert eg_sep2.trainer.iteration == 2
+    assert (tmp_path / 'joint_out' / 'metrics.json').exists()
+
+
 def test_checkpoint_retention(tmp_path):
     """max_checkpoints prunes numbered checkpoints, keeping best/latest
     targets (reference checkpoint bookkeeping, ``experiment.py:224``)."""

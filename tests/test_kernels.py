@@ -199,6 +199,35 @@ def test_fullfused_spill_batch_padding(kb, data):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_fullfused_bf16_storage_grads(kb, data):
+    """The bf16 streaming policy (storage-dtype dx outputs + dhs inputs,
+    round 4) stays within bf16 quantization of the f32 scan gradients —
+    the production bench runs this configuration."""
+    x, params, H = data
+    saved = kb.STORAGE_DTYPE
+    kb.STORAGE_DTYPE = jnp.bfloat16
+    try:
+        def loss_ff(p, x):
+            return jnp.sum(kb.blstm_layer_fullfused(p, x) ** 2)
+
+        def loss_ref(p, x):
+            return jnp.sum(_scan_ref(p, x, H) ** 2)
+
+        g_ff = jax.grad(loss_ff)(params, x)
+        gx_ff = jax.grad(loss_ff, argnums=1)(params, x)
+        g_ref = jax.grad(loss_ref)(params, x)
+        gx_ref = jax.grad(loss_ref, argnums=1)(params, x)
+        for k in sorted(g_ref):
+            a, b = np.asarray(g_ref[k]), np.asarray(g_ff[k])
+            err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+            assert err < 3e-2, (k, err)   # bf16 eps ~ 8e-3
+        rel = (np.max(np.abs(np.asarray(gx_ff) - np.asarray(gx_ref)))
+               / (np.max(np.abs(np.asarray(gx_ref))) + 1e-9))
+        assert rel < 3e-2, rel
+    finally:
+        kb.STORAGE_DTYPE = saved
+
+
 def test_spill_bwd_bb_vmem_model():
     """The backward batch-block model reproduces the chip measurement:
     bb=256 at feat=513/H=300 allocates 104.81M against the 100M scoped

@@ -876,7 +876,7 @@ def _ff_bwd_kernel(xs_ref, xr_ref, wihf_ref, wihr_ref, bf_ref, br_ref,
         g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
         o = jax.nn.sigmoid(gates[:, 3 * hidden:])
 
-        dh = dh_scr[:] + dhs_ref[k]
+        dh = dh_scr[:] + dhs_ref[k].astype(jnp.float32)
         tanh_c = jnp.tanh(c_t)
         do = dh * tanh_c
         dc = dc_scr[:] + dh * o * (1 - tanh_c * tanh_c)
@@ -1020,7 +1020,12 @@ def _ff_layer_bwd(residuals, dout):
     pad_b = b_pad - B
 
     def pad_ct(d):
-        return jnp.pad(d.astype(jnp.float32),
+        # dhs streams in the STORAGE dtype: under bf16 streaming the
+        # incoming dout is already bf16-quantized (produced by a bf16 dx
+        # or head), so an f32 pad+convert only doubled the bytes of a
+        # (T, B*S, H) tensor x4 (a top HLO movement-op family); the
+        # kernel accumulates dh in an f32 scratch regardless.
+        return jnp.pad(d.astype(STORAGE_DTYPE),
                        [(0, pad_t), (0, pad_b), (0, 0)])
 
     dhsf = pad_ct(dhsf)
@@ -1055,8 +1060,11 @@ def _ff_layer_bwd(residuals, dout):
                   h_s, h_s, h_s, h_s],
         out_specs=[x_s, x_s, wih_s, wih_s, b_s, b_s, w_s, w_s],
         out_shape=[
-            jax.ShapeDtypeStruct((seq_len, b_pad, feat), jnp.float32),
-            jax.ShapeDtypeStruct((seq_len, b_pad, feat), jnp.float32),
+            # dx streams in the storage dtype (halves the two biggest
+            # backward writes at flagship dims); the f32 per-direction
+            # sum happens outside, weight grads stay f32.
+            jax.ShapeDtypeStruct((seq_len, b_pad, feat), xs.dtype),
+            jax.ShapeDtypeStruct((seq_len, b_pad, feat), xs.dtype),
             jax.ShapeDtypeStruct((feat, gh), jnp.float32),
             jax.ShapeDtypeStruct((feat, gh), jnp.float32),
             jax.ShapeDtypeStruct((1, gh), jnp.float32),
@@ -1084,7 +1092,10 @@ def _ff_layer_bwd(residuals, dout):
 
     dxa = dxa[:real_t, :B]
     dxb = jnp.flip(dxb[:real_t], axis=0)[:, :B]
-    dx = jnp.swapaxes(dxa + dxb, 0, 1).astype(x.dtype)
+    # cast BEFORE the (T, B) -> (B, T) transpose: the f32 transpose of
+    # the summed dx was a top HLO movement op (1.33 GB at the 513-wide
+    # flagship layer); the sum stays f32, only the layout move is bf16
+    dx = jnp.swapaxes((dxa + dxb).astype(x.dtype), 0, 1)
 
     d_params = {}
     for suffix, dwih, db, dwhh in (('', dwihf, dbf, dwhf),
@@ -1246,7 +1257,7 @@ def _ffs_bwd_kernel(xs_ref, xr_ref, wihf_ref, wihr_ref, bf_ref, br_ref,
             o = jax.nn.sigmoid(gj[:, 3 * hidden:])
             c_t = cq_scr[j + 1]
             c_prev = cq_scr[j]
-            dh = dh_scr[:] + dhs_ref[j]
+            dh = dh_scr[:] + dhs_ref[j].astype(jnp.float32)
             tanh_c = jnp.tanh(c_t)
             do = dh * tanh_c
             dc = dc_scr[:] + dh * o * (1 - tanh_c * tanh_c)
@@ -1438,7 +1449,9 @@ def _ffs_layer_bwd(residuals, dout):
     pad_b = b_pad - B
 
     def pad_ct(d):
-        return jnp.pad(d.astype(jnp.float32),
+        # storage-dtype dhs: see _ff_layer_bwd (the f32 pad+convert
+        # doubled the bytes of an already-bf16-quantized gradient).
+        return jnp.pad(d.astype(STORAGE_DTYPE),
                        [(0, pad_t), (0, pad_b), (0, 0)])
 
     dhsf = pad_ct(dhsf)
@@ -1515,7 +1528,10 @@ def _ffs_layer_bwd(residuals, dout):
 
     dxa = dxa[:real_t, :B].astype(jnp.float32)
     dxb = jnp.flip(dxb[:real_t], axis=0)[:, :B].astype(jnp.float32)
-    dx = jnp.swapaxes(dxa + dxb, 0, 1).astype(x.dtype)
+    # cast BEFORE the (T, B) -> (B, T) transpose: the f32 transpose of
+    # the summed dx was a top HLO movement op (1.33 GB at the 513-wide
+    # flagship layer); the sum stays f32, only the layout move is bf16
+    dx = jnp.swapaxes((dxa + dxb).astype(x.dtype), 0, 1)
 
     d_params = {}
     for suffix, dwih, db, dwhh in (('', dwihf, dbf, dwhf),
@@ -1927,7 +1943,7 @@ def _ffc_layer_bwd(residuals, dout):
 
     dxa = dxa[:real_t, :B]
     dxb = jnp.flip(dxb[:real_t], axis=0)[:, :B]
-    dx = jnp.swapaxes(dxa + dxb, 0, 1).astype(xs.dtype)
+    dx = jnp.swapaxes((dxa + dxb).astype(xs.dtype), 0, 1)
     daux = jnp.swapaxes(daux, 0, 1)[:B].astype(aux.dtype)
 
     d_params = {}
