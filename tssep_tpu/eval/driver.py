@@ -361,10 +361,11 @@ class EvalDriver:
         -> cpWER, not plain WER).  Returns the flat dict for
         metrics.json.
         """
-        from tssep_tpu.eval.wer import cp_wer
+        from tssep_tpu.eval.wer import cp_wer, orc_wer
         est = np.asarray(result['time_estimate'])
         collar = int(0.12 * sample_rate)
         hyps = []
+        timed_segments = []   # (start_sample, hyp) across ALL streams
         for spk, stream in enumerate(est):
             dia = result.get('sample_dia')
             if dia is not None and len(dia[spk].normalized_intervals):
@@ -372,15 +373,29 @@ class EvalDriver:
                 for s, e in dia[spk].normalized_intervals:
                     s = max(0, int(s) - collar)
                     e = min(len(stream), int(e) + collar)
-                    parts.append(transcriber(stream[s:e], sample_rate))
+                    h = transcriber(stream[s:e], sample_rate)
+                    parts.append(h)
+                    if h:
+                        timed_segments.append((s, h))
                 hyps.append(' '.join(p for p in parts if p))
             else:
-                hyps.append(transcriber(stream, sample_rate))
+                h = transcriber(stream, sample_rate)
+                hyps.append(h)
+                if h:
+                    timed_segments.append((0, h))
         res, assignment = cp_wer(reference_transcripts, hyps,
                                  return_assignment=True)
         out = {f'wer_{k}': v for k, v in res.as_dict().items()}
         out['wer_assignment'] = assignment
         out['cp_wer'] = out.pop('wer_wer')
+        # ORC-WER: the same hypotheses as unlabeled temporally-ordered
+        # segments, channel attribution chosen by the segment DP (the
+        # MeetEval-style second headline WER surface).
+        timed_segments.sort(key=lambda t: t[0])
+        orc = orc_wer(reference_transcripts,
+                      [h for _, h in timed_segments],
+                      max_speakers=len(reference_transcripts))
+        out['orc_wer'] = orc.error_rate
         return out
 
 

@@ -201,7 +201,7 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None,
         print(json.dumps(record))
 
     summary = {'num_recordings': len(records)}
-    for key in ('der', 'si_sdr', 'cp_wer'):
+    for key in ('der', 'si_sdr', 'cp_wer', 'orc_wer'):
         vals = [r[key] for r in records if key in r]
         if vals:
             summary[f'mean_{key}'] = float(np.mean(vals))
