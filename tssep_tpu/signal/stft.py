@@ -264,6 +264,13 @@ class STFT:
 
     # -- synthesis ---------------------------------------------------------
     def istft(self, stft_signal, num_samples: int | None = None):
+        if isinstance(stft_signal, tuple):
+            # (re, im) pair: the training Masking path multiplies the
+            # observation's re/im by the (real) mask directly — the
+            # complex product tensor and its dtype upcasts never
+            # materialize (2x ~1.3 GB converts + a 2.7 GB c64
+            # intermediate at flagship dims, tools/analyze_hlo.py).
+            return self._istft_jax(stft_signal, num_samples)
         if _is_jax(stft_signal):
             return self._istft_jax(stft_signal, num_samples)
         return self._istft_np(np.asarray(stft_signal), num_samples)
@@ -287,9 +294,13 @@ class STFT:
         return self._trim(out, num_samples)
 
     def _istft_jax(self, S, num_samples):
+        if isinstance(S, tuple):
+            re, im = S
+            S = re  # shape/dtype carrier below
+        else:
+            re, im = jnp.real(S), jnp.imag(S)
         frames = S.shape[-2]
         icos_m, isin_m = _irdft_matrices(self.size, self.window_length)
-        re, im = jnp.real(S), jnp.imag(S)
         if _HEAD_BF16:
             # Training-loss path (TSSEP_HEAD_BF16): the per-speaker
             # (B, S, T, window) synthesis segments are the largest

@@ -60,6 +60,21 @@ class Masking(Enhancer):
         obs = _ref_channel_obs(masks, ex)
         return obs[..., None, :, :] * jnp.squeeze(masks, axis=-3)
 
+    def re_im(self, masks, ex, model):
+        """(re, im) of the masked STFT without forming the complex
+        product: the mask is real, so ``real(obs * m) == real(obs) * m``
+        — exact in f32, and under the bf16 head policy the products are
+        formed directly in bf16 (the ISTFT quantized its inputs to bf16
+        anyway).  Feeds ``STFT.istft`` for the training time-domain
+        estimate; the complex ``stft_estimate`` then becomes dead code in
+        the jitted loss and XLA removes it (it is still produced for
+        snapshot forwards)."""
+        obs = _ref_channel_obs(masks, ex)
+        m = jnp.squeeze(masks, axis=-3)
+        re = jnp.real(obs)[..., None, :, :].astype(m.dtype)
+        im = jnp.imag(obs)[..., None, :, :].astype(m.dtype)
+        return re * m, im * m
+
 
 class SoudenMVDR(Enhancer):
     """Differentiable MVDR (Souden) beamformer from estimated masks.

@@ -364,17 +364,28 @@ class Model(Configurable):
             assert isinstance(self.loss, loss_mod.VADSigmoidBCE), type(self.loss)
             stft_estimate = None
 
-        return ForwardOutput(
+        out = ForwardOutput(
             mask=me_out.mask, logit=me_out.logit, vad_mask=me_out.vad_mask,
             vad_logit=me_out.vad_logit, embedding=me_out.embedding,
             stft_estimate=stft_estimate)
+        if stft_estimate is not None:
+            # Fused masked-synthesis path (Masking.re_im): the time
+            # estimate multiplies the observation's re/im by the real
+            # mask directly, so the complex stft_estimate above is dead
+            # code in the jitted loss (XLA removes it) and only snapshot
+            # forwards pay for it.
+            re_im = getattr(self.enhancer, 're_im', None)
+            if re_im is not None:
+                out._re_im_estimate = re_im(me_out.mask, ex, self)
+        return out
 
     def review_loss(self, ex, out: ForwardOutput):
         """ISTFT + loss; returns (loss_sum, per_example_loss)."""
         if (out.stft_estimate is not None and 'observation' in ex
                 and hasattr(self.fe, 'istft')):
+            est = getattr(out, '_re_im_estimate', None) or out.stft_estimate
             out.time_estimate = self.fe.istft(
-                out.stft_estimate, num_samples=ex['observation'].shape[-1])
+                est, num_samples=ex['observation'].shape[-1])
         loss_value = self.loss.from_ex_out(ex, out, self)
         return jnp.sum(loss_value), loss_value
 
