@@ -269,8 +269,16 @@ def main(argv=None):
         extra = {
             'mesh': axes,
             'total_audio_s_per_s': round(total, 2),
-            'scaling_efficiency': round(eff, 4),
         }
+        if args.dryrun_cpu:
+            # Virtual CPU devices share one host: timing here validates the
+            # sharded harness ONLY — an efficiency number would read as a
+            # scaling result, so it is not emitted.
+            extra['dryrun_cpu'] = True
+            extra['note'] = ('correctness-only harness check on virtual CPU '
+                             'devices; throughput/efficiency not meaningful')
+        else:
+            extra['scaling_efficiency'] = round(eff, 4)
         metric = (f'train audio-seconds/s/chip (flagship 8-spk TS-SEP, '
                   f'5s clips, global batch {args.batch}, '
                   f'data={axes["data"]})')

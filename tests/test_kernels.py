@@ -155,6 +155,29 @@ def test_fullfused_batch_padding(kb, data):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_fullfused_no_time_padding(kb, data):
+    """T an exact TIME_BLOCK multiple: the pad_t == 0 static branch of the
+    in-kernel-reversal kernels (no state reset select emitted)."""
+    x, params, H = data
+    x_even = x[:, :20]                # 20 % 4 == 0
+    ref = _scan_ref(params, x_even, H)
+    got = kb.blstm_layer_fullfused(params, x_even)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def loss_ref(p):
+        return jnp.sum(_scan_ref(p, x_even, H) ** 2)
+
+    def loss_ff(p):
+        return jnp.sum(kb.blstm_layer_fullfused(p, x_even) ** 2)
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_ff = jax.grad(loss_ff)(params)
+    for k in sorted(g_ref):
+        a, b = np.asarray(g_ref[k]), np.asarray(g_ff[k])
+        err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+        assert err < 1e-4, (k, err)
+
+
 # ---------------------------------------------------------------------------
 # Block-spilled fully-fused layer (boundary-state residuals)
 # ---------------------------------------------------------------------------

@@ -345,3 +345,49 @@ def test_vad2sep_broadcast_forward_parity(tmp_path):
     np.testing.assert_allclose(
         t_sep(torch.tensor(xs), torch.tensor(aux))['mask'].numpy(),
         t_out['mask'].numpy(), atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# GRU parity (reference rnnp.py:87 — the non-LSTM dispatch arm)
+# --------------------------------------------------------------------------
+def test_gru_layer_matches_torch():
+    """bgru_apply vs torch.nn.GRU on identical weights (torch layout)."""
+    from tssep_tpu.nn.rnnp import bgru_apply
+
+    B, T, I, H = 3, 17, 10, 12
+    t_gru = torch.nn.GRU(I, H, num_layers=1, bidirectional=True,
+                         batch_first=True)
+    params = {k: np.asarray(v.detach().numpy())
+              for k, v in t_gru.state_dict().items()}
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(B, T, I).astype(np.float32)
+    with torch.no_grad():
+        ref, _ = t_gru(torch.tensor(x))
+    got = bgru_apply(params, x, hidden_size=H)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-5)
+
+
+def test_rnnp_gru_typ_dispatch():
+    """RNNP(typ='bgrup') inits GRU-shaped params, applies, and counts
+    params like torch (reference rnnp.py:87 + net.py param goldens)."""
+    from tssep_tpu.nn.rnnp import RNNP
+
+    r = RNNP(idim=10, elayers=2, cdim=12, hdim=14, typ='bgrup')
+    assert r.cell == 'gru' and r.bidirectional
+    params = r.init(jax.random.PRNGKey(0))
+    assert params['lstm0']['weight_ih_l0'].shape == (3 * 12, 10)
+
+    # torch param count on the same architecture
+    t = torch.nn.ModuleList()
+    for i in range(2):
+        t.append(torch.nn.GRU(10 if i == 0 else 14, 12, num_layers=1,
+                              bidirectional=True, batch_first=True))
+        t.append(torch.nn.Linear(2 * 12, 14))
+    n_torch = sum(p.numel() for p in t.parameters())
+    assert r.num_params() == n_torch
+
+    x = np.random.RandomState(6).randn(4, 9, 10).astype(np.float32)
+    out = r.apply(params, x)
+    assert out.shape == (4, 9, 14)
+    assert np.isfinite(np.asarray(out)).all()

@@ -99,11 +99,27 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None,
         # stage trained on activity; masks from this experiment's model.
         dia_trainer = dia_eg.trainer
         dia_trainer.ensure_init()
-        dia_ckpt = dia_trainer.checkpoint_dir / 'ckpt_best_loss.npz'
-        if dia_ckpt.exists():
+        # Same fallback order as the main model above; an untrained
+        # (randomly initialized) diarizer would silently degrade every
+        # downstream metric, so no checkpoint at all is an error under
+        # ``strict`` and a loud warning otherwise.
+        dia_ckpt = None
+        for name in ('ckpt_best_loss.npz', 'ckpt_latest.npz'):
+            cand = dia_trainer.checkpoint_dir / name
+            if cand.exists():
+                dia_ckpt = cand
+                break
+        if dia_ckpt is not None:
             dia_trainer.load(dia_ckpt)
             print(f'Diarization from {dia_ckpt} '
                   f'(iteration {dia_trainer.iteration})')
+        else:
+            msg = (f'no diarization checkpoint under '
+                   f'{dia_trainer.checkpoint_dir} — dia_eg would run with '
+                   f'random init')
+            if strict:
+                raise DegenerateEvalError(msg)
+            print(f'WARNING: {msg}')
         overrides.update(dia_model=dia_trainer.model,
                          dia_params=dia_trainer.params)
     driver = EvalDriver(model, **overrides)

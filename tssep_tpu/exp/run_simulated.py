@@ -261,7 +261,13 @@ if __name__ == '__main__':
         # (e.g. --vocabulary=8 --ctc_steps=1600 --tsvad_iters=400)
         if _a.startswith('--') and '=' in _a:
             _k, _, _v = _a[2:].partition('=')
-            _kw[_k] = int(_v) if _v.lstrip('-').isdigit() else _v
+            for _coerce in (int, float):
+                try:
+                    _v = _coerce(_v)
+                    break
+                except ValueError:
+                    pass
+            _kw[_k] = _v
     if '--multichannel' in sys.argv[1:]:
         main_multichannel(*_args[:1], **_kw)
     else:
@@ -345,7 +351,19 @@ def joint_eval(vad_eg, sep_eg, limit=None):
         results.append(rec)
         print(rec)
     import json
-    summary = {k: float(np.mean([r[k] for r in results if k in r]))
-               for k in ('der', 'si_sdr', 'si_sdr_mixture')}
+    # si_sdr returns -inf for silent/degenerate estimates; averaging a
+    # -inf into the summary would poison it (and emit non-standard JSON).
+    # Mirror eval/run.py: mean over finite values, flag the rest loudly.
+    summary, degenerate = {}, 0
+    for k in ('der', 'si_sdr', 'si_sdr_mixture'):
+        vals = [r[k] for r in results if k in r]
+        finite = [v for v in vals if np.isfinite(v)]
+        degenerate += len(vals) - len(finite)
+        if finite:
+            summary[k] = float(np.mean(finite))
+    if degenerate:
+        summary['degenerate'] = degenerate
+        print(f'WARNING: {degenerate} non-finite metric values excluded '
+              f'from the joint summary (degenerate separation output)')
     print('JOINT SUMMARY', json.dumps(summary))
     return summary

@@ -794,10 +794,24 @@ blstm_layer_fused.defvjp(_layer_fwd, _layer_bwd)
 # matmul rides in MXU idle slots.  Backward accumulates dW_ih in VMEM and
 # recomputes the gates from x (no xg residual at all).
 
-def _ff_fwd_kernel(xs_ref, xr_ref, wihf_ref, wihr_ref, bf_ref, br_ref,
+def _ff_fwd_kernel(xs_ref, xm_ref, wihf_ref, wihr_ref, bf_ref, br_ref,
                    wf_ref, wr_ref,
                    hsf_ref, hsr_ref, csf_ref, csr_ref,
-                   hf_scr, cf_scr, hr_scr, cr_scr, *, hidden, time_block):
+                   hf_scr, cf_scr, hr_scr, cr_scr, *, hidden, time_block,
+                   pad_t):
+    """Both directions in one grid walk, NO flipped input copy.
+
+    ``xs_ref`` walks the input forward (block ``t``); ``xm_ref`` is the
+    SAME array with the mirrored block map (``ntb-1-t``) — the reverse
+    direction reads it at within-block offset ``time_block-1-k`` and
+    writes its states back at that mirrored position, so ``hsr``/``csr``
+    come out in ORIGINAL time order.  Kills the ~1 GB/layer ``rev``
+    allocations that OOM'd batch 320/384 (TPU_R4K/L post-mortem).
+
+    ``pad_t`` (static): time pads sit at the END of ``xs``, which the
+    reverse scan visits FIRST — its state is re-zeroed at scan position
+    ``pad_t`` (the first real frame).  Zero overhead when ``pad_t == 0``.
+    """
     tb = pl.program_id(1)
 
     @pl.when(tb == 0)
@@ -822,24 +836,29 @@ def _ff_fwd_kernel(xs_ref, xr_ref, wihf_ref, wihr_ref, bf_ref, br_ref,
         return h, c
 
     def step(k, _):
+        km = time_block - 1 - k
         hf, cf = cell(xs_ref[k], bf_ref, wihf_ref, wf_ref,
                       hf_scr[:], cf_scr[:])
-        hr, cr = cell(xr_ref[k], br_ref, wihr_ref, wr_ref,
-                      hr_scr[:], cr_scr[:])
+        hr_in, cr_in = hr_scr[:], cr_scr[:]
+        if pad_t:
+            first_real = (tb * time_block + k) == pad_t
+            hr_in = jnp.where(first_real, 0.0, hr_in)
+            cr_in = jnp.where(first_real, 0.0, cr_in)
+        hr, cr = cell(xm_ref[km], br_ref, wihr_ref, wr_ref, hr_in, cr_in)
         hf_scr[:] = hf
         cf_scr[:] = cf
         hr_scr[:] = hr
         cr_scr[:] = cr
         hsf_ref[k] = hf.astype(hsf_ref.dtype)
         csf_ref[k] = cf.astype(csf_ref.dtype)
-        hsr_ref[k] = hr.astype(hsr_ref.dtype)
-        csr_ref[k] = cr.astype(csr_ref.dtype)
+        hsr_ref[km] = hr.astype(hsr_ref.dtype)
+        csr_ref[km] = cr.astype(csr_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, time_block, step, 0)
 
 
-def _ff_bwd_kernel(xs_ref, xr_ref, wihf_ref, wihr_ref, bf_ref, br_ref,
+def _ff_bwd_kernel(xs_ref, xm_ref, wihf_ref, wihr_ref, bf_ref, br_ref,
                    wf_ref, wr_ref,
                    hpf_ref, cpf_ref, cf_ref, dhsf_ref,
                    hpr_ref, cpr_ref, cr_ref, dhsr_ref,
@@ -847,7 +866,22 @@ def _ff_bwd_kernel(xs_ref, xr_ref, wihf_ref, wihr_ref, bf_ref, br_ref,
                    dbf_ref, dbr_ref, dwf_ref, dwr_ref,
                    dhf_scr, dcf_scr, dwf_scr, dwihf_scr, dbf_scr,
                    dhr_scr, dcr_scr, dwr_scr, dwihr_scr, dbr_scr,
-                   *, hidden, time_block):
+                   *, hidden, time_block, pad_t):
+    """Backward, no flipped tensors anywhere.
+
+    Forward-direction operands (``xs``, ``hpf/cpf/cf/dhsf``, ``dxa``)
+    walk the MIRRORED block map at within-block index ``k`` descending
+    (its scan order backward).  Reverse-direction operands (``xm`` = the
+    same input array, ``hpr/cpr/cr/dhsr``, ``dxb``) are ALL stored in
+    original time order and walk the identity map at index ``j``
+    ascending — which is that scan's order backward.  ``dxb`` therefore
+    needs no flip after the kernel.
+
+    ``pad_t`` (static): the reverse scan re-zeroed its state at scan
+    position ``pad_t`` (first real frame = original index
+    ``real_t - 1``), so the recompute forces ``h_prev/c_prev`` to zero
+    there, and the carried cotangent is cut inside the pad region.
+    """
     tb = pl.program_id(1)
     bblk = pl.program_id(0)
     n_tb = pl.num_programs(1)
@@ -860,10 +894,13 @@ def _ff_bwd_kernel(xs_ref, xr_ref, wihf_ref, wihr_ref, bf_ref, br_ref,
 
     def one_direction(k, x_ref, b_ref, wih_ref, w_ref, hp_ref, cp_ref,
                       c_ref, dhs_ref, dx_ref, dh_scr, dc_scr, dw_scr,
-                      dwih_scr, db_scr):
+                      dwih_scr, db_scr, zero_prev=None, cut_carry=None):
         x_t = x_ref[k]
         h_prev = hp_ref[k]
         c_prev = cp_ref[k].astype(jnp.float32)
+        if zero_prev is not None:
+            h_prev = jnp.where(zero_prev, 0, h_prev)
+            c_prev = jnp.where(zero_prev, 0, c_prev)
         c_t = c_ref[k].astype(jnp.float32)
 
         gates = (jnp.dot(x_t, wih_ref[:],
@@ -876,10 +913,14 @@ def _ff_bwd_kernel(xs_ref, xr_ref, wihf_ref, wihr_ref, bf_ref, br_ref,
         g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
         o = jax.nn.sigmoid(gates[:, 3 * hidden:])
 
-        dh = dh_scr[:] + dhs_ref[k].astype(jnp.float32)
+        carried_dh, carried_dc = dh_scr[:], dc_scr[:]
+        if cut_carry is not None:
+            carried_dh = jnp.where(cut_carry, 0.0, carried_dh)
+            carried_dc = jnp.where(cut_carry, 0.0, carried_dc)
+        dh = carried_dh + dhs_ref[k].astype(jnp.float32)
         tanh_c = jnp.tanh(c_t)
         do = dh * tanh_c
-        dc = dc_scr[:] + dh * o * (1 - tanh_c * tanh_c)
+        dc = carried_dc + dh * o * (1 - tanh_c * tanh_c)
         di = dc * g
         df = dc * c_prev
         dg = dc * i
@@ -908,9 +949,17 @@ def _ff_bwd_kernel(xs_ref, xr_ref, wihf_ref, wihr_ref, bf_ref, br_ref,
         one_direction(k, xs_ref, bf_ref, wihf_ref, wf_ref, hpf_ref,
                       cpf_ref, cf_ref, dhsf_ref, dxa_ref,
                       dhf_scr, dcf_scr, dwf_scr, dwihf_scr, dbf_scr)
-        one_direction(k, xr_ref, br_ref, wihr_ref, wr_ref, hpr_ref,
+        zero_prev = cut_carry = None
+        if pad_t:
+            # original index this reverse-direction step recomputes
+            oi = tb * time_block + j
+            real_t = n_tb * time_block - pad_t
+            zero_prev = oi == real_t - 1   # the forward's state reset
+            cut_carry = oi >= real_t       # no grad into the pad frames
+        one_direction(j, xm_ref, br_ref, wihr_ref, wr_ref, hpr_ref,
                       cpr_ref, cr_ref, dhsr_ref, dxb_ref,
-                      dhr_scr, dcr_scr, dwr_scr, dwihr_scr, dbr_scr)
+                      dhr_scr, dcr_scr, dwr_scr, dwihr_scr, dbr_scr,
+                      zero_prev=zero_prev, cut_carry=cut_carry)
         return 0
 
     jax.lax.fori_loop(0, time_block, step, 0)
@@ -937,12 +986,9 @@ def _ff_bwd_kernel(xs_ref, xr_ref, wihf_ref, wihr_ref, bf_ref, br_ref,
 
 def _ff_prep(x, params):
     xs = jnp.swapaxes(x, 0, 1).astype(STORAGE_DTYPE)      # (T, B, F)
-    xr = jnp.flip(xs, axis=0)
     multiple = (BIDI_BATCH_BLOCK if xs.shape[1] >= BIDI_BATCH_BLOCK else 8)
     xs, real_b = _pad_batch(xs, multiple)
-    xr, _ = _pad_batch(xr, multiple)
     xs, real_t = _pad_time_multiple(xs, TIME_BLOCK)
-    xr, _ = _pad_time_multiple(xr, TIME_BLOCK)
 
     def w_of(suffix):
         wih = params['weight_ih_l0' + suffix].T.astype(STORAGE_DTYPE)
@@ -953,10 +999,10 @@ def _ff_prep(x, params):
 
     wihf, bf, wf = w_of('')
     wihr, br, wr = w_of('_reverse')
-    return xs, xr, wihf, wihr, bf, br, wf, wr, real_b, real_t
+    return xs, wihf, wihr, bf, br, wf, wr, real_b, real_t
 
 
-def _ff_fwd_impl(xs, xr, wihf, wihr, bf, br, wf, wr):
+def _ff_fwd_impl(xs, wihf, wihr, bf, br, wf, wr, pad_t):
     seq_len, b, feat = xs.shape
     hidden = wf.shape[0]
     gh = 4 * hidden
@@ -966,6 +1012,11 @@ def _ff_fwd_impl(xs, xr, wihf, wihr, bf, br, wf, wr):
     ntb = seq_len // k
     x_s = pl.BlockSpec((k, bb, feat), lambda i, t: (t, i, 0),
                        memory_space=pltpu.VMEM)
+    # The reverse direction reads the SAME xs through the mirrored block
+    # map — the flipped copy (`rev`, ~1 GB/layer at flagship dims, the
+    # TPU_R4K/L OOM allocation) no longer exists.
+    x_m = pl.BlockSpec((k, bb, feat), lambda i, t: (ntb - 1 - t, i, 0),
+                       memory_space=pltpu.VMEM)
     wih_s = pl.BlockSpec((feat, gh), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM)
     b_s = pl.BlockSpec((1, gh), lambda i, t: (0, 0),
@@ -974,34 +1025,49 @@ def _ff_fwd_impl(xs, xr, wihf, wihr, bf, br, wf, wr):
                        memory_space=pltpu.VMEM)
     h_s = pl.BlockSpec((k, bb, hidden), lambda i, t: (t, i, 0),
                        memory_space=pltpu.VMEM)
+    h_m = pl.BlockSpec((k, bb, hidden), lambda i, t: (ntb - 1 - t, i, 0),
+                       memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_ff_fwd_kernel, hidden=hidden, time_block=k),
+        functools.partial(_ff_fwd_kernel, hidden=hidden, time_block=k,
+                          pad_t=pad_t),
         grid=(nb, ntb),
-        in_specs=[x_s, x_s, wih_s, wih_s, b_s, b_s, w_s, w_s],
-        out_specs=[h_s, h_s, h_s, h_s],
+        in_specs=[x_s, x_m, wih_s, wih_s, b_s, b_s, w_s, w_s],
+        out_specs=[h_s, h_m, h_s, h_m],
         out_shape=[jax.ShapeDtypeStruct((seq_len, b, hidden),
                                         xs.dtype)] * 4,
         scratch_shapes=[pltpu.VMEM((bb, hidden), jnp.float32)] * 4,
         compiler_params=_COMPILER_PARAMS,
         interpret=INTERPRET,
-    )(xs, xr, wihf, wihr, bf, br, wf, wr)
+    )(xs, xs, wihf, wihr, bf, br, wf, wr)
+
+
+def _bidi_out_orig(hsf, hsr, real_b, real_t, dtype):
+    """Assemble (B, T, 2H) when BOTH state sequences are stored in
+    original time order (the no-flip fullfused kernels)."""
+    out = jnp.concatenate([hsf[:real_t, :real_b], hsr[:real_t, :real_b]],
+                          axis=-1)
+    return jnp.swapaxes(out, 0, 1).astype(dtype)
 
 
 @jax.custom_vjp
 def blstm_layer_fullfused(params, x):
     """Bidirectional layer with in-kernel input projections.
 
-    x: (B, T, F) -> (B, T, 2H).  No xg tensors ever exist in HBM.
+    x: (B, T, F) -> (B, T, 2H).  No xg tensors ever exist in HBM, and no
+    time-flipped copies either (in-kernel reversal via mirrored block
+    maps).
     """
-    xs, xr, wihf, wihr, bf, br, wf, wr, real_b, real_t = _ff_prep(x, params)
-    hsf, hsr, _, _ = _ff_fwd_impl(xs, xr, wihf, wihr, bf, br, wf, wr)
-    return _bidi_out(hsf, hsr, real_b, real_t, x.dtype)
+    xs, wihf, wihr, bf, br, wf, wr, real_b, real_t = _ff_prep(x, params)
+    pad_t = xs.shape[0] - real_t
+    hsf, hsr, _, _ = _ff_fwd_impl(xs, wihf, wihr, bf, br, wf, wr, pad_t)
+    return _bidi_out_orig(hsf, hsr, real_b, real_t, x.dtype)
 
 
 def _ff_layer_fwd(params, x):
-    xs, xr, wihf, wihr, bf, br, wf, wr, real_b, real_t = _ff_prep(x, params)
-    hsf, hsr, csf, csr = _ff_fwd_impl(xs, xr, wihf, wihr, bf, br, wf, wr)
-    out = _bidi_out(hsf, hsr, real_b, real_t, x.dtype)
+    xs, wihf, wihr, bf, br, wf, wr, real_b, real_t = _ff_prep(x, params)
+    pad_t = xs.shape[0] - real_t
+    hsf, hsr, csf, csr = _ff_fwd_impl(xs, wihf, wihr, bf, br, wf, wr, pad_t)
+    out = _bidi_out_orig(hsf, hsr, real_b, real_t, x.dtype)
     return out, (params, x, hsf, hsr, csf, csr, real_b, real_t)
 
 
@@ -1011,11 +1077,15 @@ def _ff_layer_bwd(residuals, dout):
     hidden = hsf.shape[-1]
     gh = 4 * hidden
 
-    xs, xr, wihf, wihr, bf, br, wf, wr, _, _ = _ff_prep(x, params)
+    xs, wihf, wihr, bf, br, wf, wr, _, _ = _ff_prep(x, params)
     seq_len, b_pad = xs.shape[0], xs.shape[1]
 
+    # NO flips: the reverse direction's tensors are all stored in original
+    # time order; its backward walks the identity block map (ascending
+    # original time == descending its own scan order) while the forward
+    # direction walks the mirrored map.
     dhsf = jnp.swapaxes(dout[..., :hidden], 0, 1)
-    dhsr = jnp.flip(jnp.swapaxes(dout[..., hidden:], 0, 1), axis=0)
+    dhsr = jnp.swapaxes(dout[..., hidden:], 0, 1)
     pad_t = seq_len - real_t
     pad_b = b_pad - B
 
@@ -1036,15 +1106,24 @@ def _ff_layer_bwd(residuals, dout):
         return (jnp.concatenate([zeros, hs[:-1]], axis=0),
                 jnp.concatenate([zeros, cs[:-1]], axis=0))
 
+    def prevs_rev(hs, cs):
+        # original-order reverse scan: the state BEFORE consuming x_i is
+        # the state at i+1 (the scan runs T-1 -> 0)
+        zeros = jnp.zeros((1,) + hs.shape[1:], hs.dtype)
+        return (jnp.concatenate([hs[1:], zeros], axis=0),
+                jnp.concatenate([cs[1:], zeros], axis=0))
+
     hpf, cpf = prevs(hsf, csf)
-    hpr, cpr = prevs(hsr, csr)
+    hpr, cpr = prevs_rev(hsr, csr)
 
     bb = min(b_pad, BIDI_BATCH_BLOCK)
     nb = b_pad // bb
     k = TIME_BLOCK
     ntb = seq_len // k
     rev = lambda i, t: ((ntb - 1 - t), i, 0)  # noqa: E731
+    fwd = lambda i, t: (t, i, 0)              # noqa: E731
     x_s = pl.BlockSpec((k, bb, feat), rev, memory_space=pltpu.VMEM)
+    x_f = pl.BlockSpec((k, bb, feat), fwd, memory_space=pltpu.VMEM)
     wih_s = pl.BlockSpec((feat, gh), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM)
     b_s = pl.BlockSpec((1, gh), lambda i, t: (0, 0),
@@ -1052,13 +1131,15 @@ def _ff_layer_bwd(residuals, dout):
     w_s = pl.BlockSpec((hidden, gh), lambda i, t: (0, 0),
                        memory_space=pltpu.VMEM)
     h_s = pl.BlockSpec((k, bb, hidden), rev, memory_space=pltpu.VMEM)
+    h_f = pl.BlockSpec((k, bb, hidden), fwd, memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        functools.partial(_ff_bwd_kernel, hidden=hidden, time_block=k),
+        functools.partial(_ff_bwd_kernel, hidden=hidden, time_block=k,
+                          pad_t=pad_t),
         grid=(nb, ntb),
-        in_specs=[x_s, x_s, wih_s, wih_s, b_s, b_s, w_s, w_s,
+        in_specs=[x_s, x_f, wih_s, wih_s, b_s, b_s, w_s, w_s,
                   h_s, h_s, h_s, h_s,
-                  h_s, h_s, h_s, h_s],
-        out_specs=[x_s, x_s, wih_s, wih_s, b_s, b_s, w_s, w_s],
+                  h_f, h_f, h_f, h_f],
+        out_specs=[x_s, x_f, wih_s, wih_s, b_s, b_s, w_s, w_s],
         out_shape=[
             # dx streams in the storage dtype (halves the two biggest
             # backward writes at flagship dims); the f32 per-direction
@@ -1086,16 +1167,20 @@ def _ff_layer_bwd(residuals, dout):
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=INTERPRET,
-    )(xs, xr, wihf, wihr, bf, br, wf, wr,
+    )(xs, xs, wihf, wihr, bf, br, wf, wr,
       hpf, cpf, csf, dhsf, hpr, cpr, csr, dhsr)
     dxa, dxb, dwihf, dwihr, dbf, dbr, dwhf, dwhr = outs
 
+    # dxb is already in original time order (identity out map) — no flip.
     dxa = dxa[:real_t, :B]
-    dxb = jnp.flip(dxb[:real_t], axis=0)[:, :B]
-    # cast BEFORE the (T, B) -> (B, T) transpose: the f32 transpose of
-    # the summed dx was a top HLO movement op (1.33 GB at the 513-wide
-    # flagship layer); the sum stays f32, only the layout move is bf16
-    dx = jnp.swapaxes((dxa + dxb).astype(x.dtype), 0, 1)
+    dxb = dxb[:real_t, :B]
+    # Upcast each direction before the sum (one bf16 rounding less, same
+    # policy as _ffs_layer_bwd), then cast BEFORE the (T, B) -> (B, T)
+    # transpose: the f32 transpose of the summed dx was a top HLO movement
+    # op (1.33 GB at the 513-wide flagship layer) — only the layout move
+    # runs in the storage dtype.
+    dsum = dxa.astype(jnp.float32) + dxb.astype(jnp.float32)
+    dx = jnp.swapaxes(dsum.astype(x.dtype), 0, 1)
 
     d_params = {}
     for suffix, dwih, db, dwhh in (('', dwihf, dbf, dwhf),

@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ['torch_linear_init', 'torch_lstm_init', 'uniform']
+__all__ = ['torch_linear_init', 'torch_lstm_init', 'torch_gru_init',
+           'uniform']
 
 
 def uniform(key, shape, bound, dtype=jnp.float32):
@@ -38,4 +39,17 @@ def torch_lstm_init(key, input_size: int, hidden_size: int, dtype=jnp.float32):
         'weight_hh_l0': uniform(k[1], (4 * hidden_size, hidden_size), bound, dtype),
         'bias_ih_l0': uniform(k[2], (4 * hidden_size,), bound, dtype),
         'bias_hh_l0': uniform(k[3], (4 * hidden_size,), bound, dtype),
+    }
+
+
+def torch_gru_init(key, input_size: int, hidden_size: int, dtype=jnp.float32):
+    """``torch.nn.GRU`` layout: 3 gates (r, z, n), every tensor
+    U(-1/sqrt(hidden), 1/sqrt(hidden))."""
+    k = jax.random.split(key, 4)
+    bound = 1.0 / np.sqrt(hidden_size)
+    return {
+        'weight_ih_l0': uniform(k[0], (3 * hidden_size, input_size), bound, dtype),
+        'weight_hh_l0': uniform(k[1], (3 * hidden_size, hidden_size), bound, dtype),
+        'bias_ih_l0': uniform(k[2], (3 * hidden_size,), bound, dtype),
+        'bias_hh_l0': uniform(k[3], (3 * hidden_size,), bound, dtype),
     }

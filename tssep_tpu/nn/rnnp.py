@@ -27,9 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tssep_tpu.nn.init import torch_linear_init, torch_lstm_init
+from tssep_tpu.nn.init import (torch_gru_init, torch_linear_init,
+                               torch_lstm_init)
 
-__all__ = ['RNNP', 'lstm_init', 'blstm_apply']
+__all__ = ['RNNP', 'lstm_init', 'gru_init', 'blstm_apply', 'bgru_apply']
 
 #: Steps per scan iteration: amortizes per-step loop overhead into larger
 #: fused blocks (XLA). Tunable via env for benchmarking.
@@ -50,6 +51,80 @@ def lstm_init(key, input_size: int, hidden_size: int, bidirectional=True):
         rev = torch_lstm_init(keys[1], input_size, hidden_size)
         out.update({k + '_reverse': v for k, v in rev.items()})
     return out
+
+
+def gru_init(key, input_size: int, hidden_size: int, bidirectional=True):
+    """Init one (B)GRU layer's params (torch layout and naming).
+
+    Reference dispatches ``torch.nn.LSTM if 'lstm' in typ else
+    torch.nn.GRU`` (``tssep/train/rnnp.py:87``); this is the GRU arm."""
+    keys = jax.random.split(key, 2)
+    out = torch_gru_init(keys[0], input_size, hidden_size)
+    if bidirectional:
+        rev = torch_gru_init(keys[1], input_size, hidden_size)
+        out.update({k + '_reverse': v for k, v in rev.items()})
+    return out
+
+
+def _gru_scan(xg, hg_bias, w_hh, h0, reverse: bool):
+    """Scan a GRU over time (torch gate order r, z, n).
+
+    xg: (T, B, 3H) precomputed input projections + input bias.
+    hg_bias: (3H,) the hidden bias — kept OUT of xg because the n-gate's
+    hidden term is gated by r *including its bias*:
+    ``n = tanh(x_n + b_in + r * (W_hn h + b_hn))``.
+    """
+    H = w_hh.shape[1]
+    w_hh_t = w_hh.T  # (H, 3H)
+
+    def step(h, xg_t):
+        hg = h @ w_hh_t + hg_bias
+        r = jax.nn.sigmoid(xg_t[..., :H] + hg[..., :H])
+        z = jax.nn.sigmoid(xg_t[..., H:2 * H] + hg[..., H:2 * H])
+        n = jnp.tanh(xg_t[..., 2 * H:] + r * hg[..., 2 * H:])
+        h = (1 - z) * n + z * h
+        return h, h
+
+    _, ys = jax.lax.scan(step, h0, xg, reverse=reverse,
+                         unroll=DEFAULT_UNROLL)
+    return ys
+
+
+def _bgru_apply_impl(params, x, hidden_size: int, bidirectional: bool):
+    B, T, _ = x.shape
+    H = hidden_size
+
+    def direction(suffix, reverse):
+        w_ih = params['weight_ih_l0' + suffix].astype(x.dtype)
+        w_hh = params['weight_hh_l0' + suffix].astype(x.dtype)
+        b_i = params['bias_ih_l0' + suffix].astype(x.dtype)
+        b_h = params['bias_hh_l0' + suffix].astype(x.dtype)
+        xg = x @ w_ih.T + b_i                    # (B, T, 3H)
+        xg = jnp.swapaxes(xg, 0, 1)              # time-major for scan
+        h0 = jnp.zeros((B, H), dtype=x.dtype)
+        ys = _gru_scan(xg, b_h, w_hh, h0, reverse)
+        return jnp.swapaxes(ys, 0, 1)            # (B, T, H)
+
+    out = direction('', False)
+    if bidirectional:
+        out = jnp.concatenate([out, direction('_reverse', True)], axis=-1)
+    return out
+
+
+_bgru_apply_remat = jax.checkpoint(_bgru_apply_impl, static_argnums=(2, 3))
+
+
+def bgru_apply(params, x, *, hidden_size: int, bidirectional=True,
+               remat=None):
+    """Apply one (bidirectional) GRU layer: (B, T, I) -> (B, T, 2H).
+
+    Scan path only (the Pallas kernel family is LSTM-specific; nothing in
+    the reference recipes trains GRUs, so the fused-kernel investment
+    goes to the LSTM)."""
+    if remat is None:
+        remat = DEFAULT_REMAT
+    fn = _bgru_apply_remat if remat else _bgru_apply_impl
+    return fn(params, x, hidden_size, bidirectional)
 
 
 def _lstm_scan(xg, w_hh, h0, c0, reverse: bool, return_state=False):
@@ -282,13 +357,20 @@ class RNNP:
     def bidirectional(self):
         return self.typ.startswith('b')
 
+    @property
+    def cell(self):
+        """'lstm' or 'gru' — reference ``rnnp.py:87`` dispatches
+        ``torch.nn.LSTM if 'lstm' in typ else torch.nn.GRU``."""
+        return 'lstm' if 'lstm' in self.typ else 'gru'
+
     def init(self, key):
         params = {}
         keys = jax.random.split(key, 2 * self.elayers)
         scale = 2 if self.bidirectional else 1
+        cell_init = lstm_init if self.cell == 'lstm' else gru_init
         for i in range(self.elayers):
             inputdim = self.idim if i == 0 else self.hdim
-            params[f'lstm{i}'] = lstm_init(
+            params[f'lstm{i}'] = cell_init(
                 keys[2 * i], inputdim, self.cdim, self.bidirectional)
             params[f'proj{i}'] = torch_linear_init(
                 keys[2 * i + 1], scale * self.cdim, self.hdim)
@@ -308,8 +390,12 @@ class RNNP:
             raise ValueError(x.shape)
 
         for i in range(self.elayers):
-            h = blstm_apply(params[f'lstm{i}'], h, hidden_size=self.cdim,
-                            bidirectional=self.bidirectional, remat=remat)
+            if self.cell == 'gru':
+                h = bgru_apply(params[f'lstm{i}'], h, hidden_size=self.cdim,
+                               bidirectional=self.bidirectional, remat=remat)
+            else:
+                h = blstm_apply(params[f'lstm{i}'], h, hidden_size=self.cdim,
+                                bidirectional=self.bidirectional, remat=remat)
             p = params[f'proj{i}']
             h = h @ p['weight'].T.astype(h.dtype) + p['bias'].astype(h.dtype)
             if i < self.elayers - 1:
@@ -347,9 +433,11 @@ class RNNP:
 
     def num_params(self):
         scale = 2 if self.bidirectional else 1
+        gates = 4 if self.cell == 'lstm' else 3
         n = 0
         for i in range(self.elayers):
             inputdim = self.idim if i == 0 else self.hdim
-            n += scale * (4 * self.cdim * (inputdim + self.cdim) + 8 * self.cdim)
+            n += scale * (gates * self.cdim * (inputdim + self.cdim)
+                          + 2 * gates * self.cdim)
             n += self.hdim * (scale * self.cdim) + self.hdim
         return n

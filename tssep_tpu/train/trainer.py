@@ -540,7 +540,8 @@ class Trainer(Configurable):
         path = ckpt_lib.save_checkpoint(
             self.checkpoint_dir, self.iteration, self.params,
             opt_state=self.opt_state,
-            meta={'best_validation_loss': self.best_validation_loss},
+            meta={'best_validation_loss': self.best_validation_loss,
+                  'validations_since_best': self._validations_since_best},
             best=best, async_write=self.async_checkpoints,
             write=jax.process_index() == 0,
             after_write=self._prune_checkpoints)
@@ -570,6 +571,11 @@ class Trainer(Configurable):
         self.iteration = int(meta.get('iteration', 0))
         self.best_validation_loss = float(
             meta.get('best_validation_loss', math.inf))
+        # Restore the early-stop patience counter alongside the best loss:
+        # a resumed plateaued run would otherwise reset patience to 0 and
+        # fire up to `patience` validations late after every resume.
+        self._validations_since_best = int(
+            meta.get('validations_since_best', 0))
 
     # ------------------------------------------------------------------
     def train(self, train_ds, device=None, resume=False):
