@@ -105,8 +105,9 @@ class TorchMaskEstimator(torch.nn.Module):
         self.post_net = TorchPostNet(
             first_idim, units, projs, projs * ts_factor, final_out)
 
-    @torch.no_grad()
     def forward(self, xs, aux):
+        # grad-enabled (the trajectory A/B backprops through this fixture);
+        # forward-only tests detach at the comparison points
         batched = xs.dim() == 3
         if not batched:
             xs = xs[None]
@@ -210,15 +211,15 @@ def _load_ours(est, path):
 
 def _compare(torch_out, our_out, atol=1e-4):
     np.testing.assert_allclose(
-        np.asarray(our_out.mask), torch_out['mask'].numpy(),
+        np.asarray(our_out.mask), torch_out['mask'].detach().numpy(),
         atol=atol, rtol=0)
     if 'logit' in torch_out and our_out.logit is not None:
         np.testing.assert_allclose(
-            np.asarray(our_out.logit), torch_out['logit'].numpy(),
+            np.asarray(our_out.logit), torch_out['logit'].detach().numpy(),
             atol=10 * atol, rtol=1e-3)
     if 'vad_mask' in torch_out:
         np.testing.assert_allclose(
-            np.asarray(our_out.vad_mask), torch_out['vad_mask'].numpy(),
+            np.asarray(our_out.vad_mask), torch_out['vad_mask'].detach().numpy(),
             atol=atol, rtol=0)
 
 
@@ -343,8 +344,8 @@ def test_vad2sep_broadcast_forward_parity(tmp_path):
     # freq, equal the 't' activities (constant-over-freq head by design)
     t_out = t_vad(torch.tensor(xs), torch.tensor(aux))
     np.testing.assert_allclose(
-        t_sep(torch.tensor(xs), torch.tensor(aux))['mask'].numpy(),
-        t_out['mask'].numpy(), atol=1e-6)
+        t_sep(torch.tensor(xs), torch.tensor(aux))['mask'].detach().numpy(),
+        t_out['mask'].detach().numpy(), atol=1e-6)
 
 
 # --------------------------------------------------------------------------
@@ -391,3 +392,113 @@ def test_rnnp_gru_typ_dispatch():
     out = r.apply(params, x)
     assert out.shape == (4, 9, 14)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# --------------------------------------------------------------------------
+# Full-recipe training-trajectory parity (the north-star A/B):
+# N optimizer steps of the toy TS-VAD recipe through OUR REAL Trainer vs a
+# plain-torch restatement of the reference's optimizer semantics
+# (padertorch Adam lr 1e-3 / betas (.9,.999) / eps 1e-8 + grad-clip-10 +
+# virtual_minibatch accumulation, reference experiment.py:112-151).
+# Same init (torch weights imported), same batches (the materialized
+# pipeline output, cycled identically), losses compared per micro-batch.
+# --------------------------------------------------------------------------
+def test_training_trajectory_matches_torch(tmp_path):
+    import itertools
+
+    import jax.numpy as jnp
+    import test_exp as texp
+
+    from tssep_tpu.config.configurable import NestedView
+    from tssep_tpu.train.experiment import Experiment
+    from tssep_tpu.train.trainer import _array_part
+
+    N, VMB = 10, 2
+    config = texp._load_reduced('init_cfg_tsvad.yaml', tmp_path / 'traj')
+    nv = NestedView(config)
+    nv['eg.trainer.stop_trigger'] = [N, 'iteration']
+    nv['eg.trainer.summary_trigger'] = [N, 'iteration']
+    nv['eg.trainer.checkpoint_trigger'] = [N, 'iteration']
+    nv['eg.trainer.virtual_minibatch_size'] = VMB
+    nv['eg.trainer.model.mask_estimator.random_speaker_order'] = False
+    eg = from_config(Experiment.get_config(config['eg']))
+    trainer = eg.trainer
+    trainer.ensure_init()
+    model = trainer.model
+
+    # identical init: torch fixture weights -> our params
+    me = model.mask_estimator
+    tme = TorchMaskEstimator(
+        idim=me.idim, odim=me.odim, units=me.units, projs=me.projs,
+        nmask=me.nmask, combination=me.combination, ts_vad=me.ts_vad,
+        output_resolution=me.output_resolution,
+        aux_net_output_size=me.aux_net_output_size,
+        num_averaged_permutations=1)
+    path = _export(tme, tmp_path)
+    params = load_torch_checkpoint(path, trainer.params)
+    trainer.params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    # identical data: materialize the pipeline once, cycle on both sides
+    batches = list(model.prepare_train_dataset(prefetch=False, batch_size=1))
+    assert len(batches) >= 2
+
+    losses_ours = []
+    base_fn = trainer._update_fn
+
+    def recording(p, o, b, k):
+        p, o, loss, aux = base_fn(p, o, b, k)
+        losses_ours.append(float(loss))
+        return p, o, loss, aux
+
+    trainer._update_fn = recording
+    it = trainer.train(batches)
+    assert trainer.iteration == N
+    assert len(losses_ours) == N * VMB
+
+    # ---- torch restatement of the reference training step ----
+    opt = torch.optim.Adam(tme.parameters(), lr=1e-3, betas=(0.9, 0.999),
+                           eps=1e-8)
+    data = itertools.cycle(batches)
+    losses_torch = []
+    for _ in range(N):
+        opt.zero_grad()
+        for _k in range(VMB):
+            ex = dict(next(data))
+            arrays, _meta = _array_part(ex)
+            ref = int(np.asarray(arrays['reference_channel']))
+            # features carry no trainable params -> computed with our
+            # (golden-tested) extractor, constant w.r.t. the torch graph
+            obs_stft = np.asarray(model.fe.stft(arrays['observation']))
+            feats = np.asarray(
+                model.fe.stft_to_feature(obs_stft[..., ref, :, :]),
+                dtype=np.float32)
+            out = tme(torch.tensor(feats),
+                      torch.tensor(np.asarray(arrays['auxInput'],
+                                              dtype=np.float32)))
+            est = out['logit'].squeeze(-3).mean(-1)    # freq-mean logits
+            tgt = torch.tensor(np.asarray(arrays['Vad'], dtype=np.float32))
+            bce = (torch.clamp(est, min=0) - est * tgt
+                   + torch.log1p(torch.exp(-est.abs())))
+            fm = arrays.get('_frame_mask')
+            if fm is not None:
+                fm = torch.tensor(np.asarray(fm, dtype=np.float32))
+                per = ((bce * fm).sum(-1)
+                       / torch.clamp(fm.sum(-1), min=1.0)).mean(-1)
+            else:
+                per = bce.mean((-1, -2))
+            loss = per.sum()
+            # optax.MultiSteps averages the micro-batch grads; clip-10 +
+            # Adam then fire on the mean
+            (loss / VMB).backward()
+            losses_torch.append(float(loss.detach()))
+        torch.nn.utils.clip_grad_norm_(tme.parameters(), 10)
+        opt.step()
+
+    err = np.max(np.abs(np.asarray(losses_ours) - np.asarray(losses_torch))
+                 / np.abs(losses_torch))
+    print(f'TRAJ max rel err over {len(losses_ours)} micro-steps: {err:.2e}')
+    # measured 2.4e-7 max relative over 20 micro-steps (f32 noise floor)
+    np.testing.assert_allclose(losses_ours, losses_torch,
+                               rtol=1e-5, atol=1e-7)
+    # and the trajectories actually moved (a flat loss would pass trivially)
+    assert abs(losses_ours[0] - losses_ours[-1]) > 1e-4
