@@ -7,7 +7,7 @@
 # scripts move to tools/chip_queue/done/.  Runs until killed or the queue has
 # been idle AND a stop file exists (tools/chip_queue/STOP).
 cd /root/repo || exit 1
-export PYTHONPATH=/root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
 LOG=/root/repo/log/chip_runner_r5.log
 Q=/root/repo/tools/chip_queue
 mkdir -p "$Q/done" /root/repo/log

@@ -1,0 +1,160 @@
+"""Sweep the TS-SEP activity statistic: stat x merge_gap x threshold.
+
+Round-4 verdict weak #1: standalone TS-SEP diarization (activity derived
+from the separation masks) calibrated its threshold to the GRID EDGE
+(0.01) with the freq-mean statistic and scored held-out DER 0.389 — a
+statistic whose optimal threshold is the smallest value allowed is a
+statistic that hasn't been swept.  This tool sweeps
+
+    activity_stat in {mean, q75, q90, q95, q98}
+  x merge_gap     in {0, recipe default, 2x}
+  x threshold     (the calibration grid, densified low end)
+
+calibrating the threshold per (stat, gap) cell on the VALIDATION set and
+scoring held-out eval DER with the calibrated threshold — exactly the
+standalone-TS-SEP deployment of ``eval/run.py`` (reference activity
+semantics: ``/root/reference/tssep/util/utils.py:11-129``).  One model
+forward per recording total (the estimator returns every candidate
+statistic from the same stitched sigmoid masks).
+
+Usage:
+    python tools/sweep_activity.py <work_dir> [--out=...]
+where <work_dir> is a run_simulated work dir (tssep/config.yaml + shards).
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+STATS = ('mean', 'q75', 'q90', 'q95', 'q98')
+
+
+def main(work_dir, out=None, stats=STATS, limit_cal=4, limit_eval=None):
+    from tssep_tpu.config.configurable import from_config
+    from tssep_tpu.eval.driver import (ChunkedMaskEstimator,
+                                       calibrate_threshold,
+                                       calibration_stats,
+                                       diarize_from_activity)
+    from tssep_tpu.eval.metrics import der as der_fn
+    from tssep_tpu.signal.vad import stft_vad
+    from tssep_tpu.train.run import build_config
+
+    work_dir = Path(work_dir)
+    cfg_path = work_dir / 'tssep' / 'config.yaml'
+    assert cfg_path.exists(), f'no TS-SEP experiment at {cfg_path}'
+    config = build_config([str(cfg_path)], {})
+    eg = from_config(config['eg'])
+    trainer = eg.trainer
+    trainer.ensure_init()
+    ckpt = None
+    for name in ('ckpt_best_loss.npz', 'ckpt_latest.npz'):
+        cand = trainer.checkpoint_dir / name
+        if cand.exists():
+            ckpt = cand
+            break
+    assert ckpt is not None, f'no checkpoint under {trainer.checkpoint_dir}'
+    trainer.load(ckpt)
+    print(f'Loaded {ckpt} (iteration {trainer.iteration})')
+    model = trainer.model
+
+    # The recipe's merge_gap default for word-vocabulary corpora
+    # (run_simulated.py: word gap + trailing off slots + margin).
+    gap_default = 0
+    try:
+        from tssep_tpu.data.simulate import MeetingSimulator
+        sim0 = MeetingSimulator(duration=5.0, vocabulary=8)
+        gap_sec = sim0.word_gap_sec + 2 * sim0.word_sec / 6 + 0.1
+        gap_default = int(gap_sec * 16000 / model.fe.shift) + 1
+    except Exception as e:  # noqa: BLE001 - non-word corpora have no gap
+        print(f'note: no simulator gap default ({e})')
+    gaps = sorted({0, gap_default, 2 * gap_default})
+
+    chunked = ChunkedMaskEstimator(model, activity_stat=list(stats))
+
+    def collect(ds, limit):
+        acts = {s: [] for s in stats}
+        refs = []
+        for i, ex in enumerate(ds):
+            if limit is not None and i >= limit:
+                break
+            if 'vad' not in ex:
+                continue
+            obs_stft = model.fe.stft(np.asarray(ex['observation']))
+            _, activity = chunked(trainer.params, np.asarray(obs_stft),
+                                  np.asarray(ex['auxInput']))
+            for s in stats:
+                acts[s].append(activity[s])
+            refs.append(np.asarray(
+                stft_vad(np.asarray(ex['vad']), model.fe.window_length,
+                         model.fe.shift, model.fe.fading), dtype=bool))
+        return acts, refs
+
+    print('Computing calibration activities (validation set)...')
+    cal_acts, cal_refs = collect(
+        model.prepare_validate_dataset(prefetch=False), limit_cal)
+    print(f'  {len(cal_refs)} calibration recordings')
+    print('Computing eval activities (held-out set)...')
+    ev_acts, ev_refs = collect(
+        model.prepare_eval_dataset(prefetch=False), limit_eval)
+    print(f'  {len(ev_refs)} eval recordings')
+
+    # Threshold grid bounds (interior check): same grid as
+    # calibration_stats' default.
+    grid = np.concatenate([[0.01, 0.02, 0.03], np.linspace(0.05, 0.9, 18)])
+
+    pads = (0, 4, 8, 12)
+    rows = []
+    for stat in stats:
+        for gap in gaps:
+            for pad in pads:
+                th, cal_der = calibrate_threshold(
+                    cal_acts[stat], cal_refs, smooth_kernel=11,
+                    min_frames=3, merge_gap=gap, pad_frames=pad)
+                ders = []
+                for act, ref in zip(ev_acts[stat], ev_refs):
+                    hyp = np.stack([np.asarray(ai, dtype=bool)
+                                    for ai in diarize_from_activity(
+                                        act, th, 11, 3, gap, pad)])
+                    frames = min(ref.shape[-1], hyp.shape[-1])
+                    r = der_fn(ref[..., :frames], hyp[..., :frames])
+                    ders.append(r['der'])
+                row = {
+                    'activity_stat': stat,
+                    'merge_gap_frames': int(gap),
+                    'pad_frames': int(pad),
+                    'threshold': float(th),
+                    'threshold_interior': bool(grid[0] < th < grid[-1]),
+                    'calibration_der': float(cal_der),
+                    'eval_der': float(np.mean(ders)),
+                    'eval_der_per_recording': [float(d) for d in ders],
+                }
+                rows.append(row)
+                print(f"stat={stat:>5} gap={gap:>3} pad={pad:>2} "
+                      f"th={th:.2f}"
+                      f"{' (EDGE)' if not row['threshold_interior'] else '      '}"
+                      f" cal_der={cal_der:.4f} eval_der={row['eval_der']:.4f}")
+
+    # Winner: lowest calibration DER (threshold AND cell both selected on
+    # validation — the eval column is reported, not used for selection).
+    best = min(rows, key=lambda r: r['calibration_der'])
+    print('\nWINNER (by calibration DER):', json.dumps(best))
+    result = {'checkpoint': str(ckpt), 'iteration': int(trainer.iteration),
+              'rows': rows, 'winner': best}
+    out = Path(out) if out else work_dir / 'activity_sweep.json'
+    out.write_text(json.dumps(result, indent=1))
+    print(f'wrote {out}')
+    return result
+
+
+if __name__ == '__main__':
+    args = [a for a in sys.argv[1:] if not a.startswith('--')]
+    kw = {}
+    for a in sys.argv[1:]:
+        if a.startswith('--') and '=' in a:
+            k, _, v = a[2:].partition('=')
+            kw[k] = int(v) if v.isdigit() else v
+    main(*args, **kw)

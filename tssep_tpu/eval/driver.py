@@ -33,7 +33,7 @@ from tssep_tpu.signal.intervals import ArrayInterval
 from tssep_tpu.signal.vad import istft_vad
 
 __all__ = ['ChunkedMaskEstimator', 'diarize_from_activity', 'EvalDriver',
-           'stitch_chunks', 'median_smooth', 'to_numpy']
+           'stitch_chunks', 'median_smooth', 'to_numpy', 'activity_from_sig']
 
 
 def to_numpy(x):
@@ -79,6 +79,16 @@ def stitch_chunks(chunks, starts, num_frames, chunk, hop, time_axis):
     return out
 
 
+def activity_from_sig(sig, stat):
+    """Frame activity from the (spk, T, F) sigmoid mask: a frequency
+    statistic per frame.  ``stat``: 'mean' (the TS-SEP recipe default) or
+    'qNN' (frequency quantile, e.g. 'q90')."""
+    if stat.startswith('q'):
+        return np.quantile(sig, float(stat[1:]) / 100, axis=-1)
+    assert stat == 'mean', stat
+    return sig.mean(-1)
+
+
 def median_smooth(activity, kernel=11):
     """Median filter along the last axis (odd kernel)."""
     if kernel <= 1:
@@ -90,13 +100,19 @@ def median_smooth(activity, kernel=11):
 
 
 def diarize_from_activity(activity, threshold=0.5, smooth_kernel=11,
-                          min_frames=0, merge_gap=0):
+                          min_frames=0, merge_gap=0, pad_frames=0):
     """(spk, frames) scores -> list of per-speaker ArrayIntervals.
 
     ``merge_gap``: bridge silences shorter than this many frames before
     the ``min_frames`` filter — standard diarization post-processing for
     speech with in-turn pauses (the word-vocabulary corpora pause
-    ~0.25 s between words while the reference activity is turn-level)."""
+    ~0.25 s between words while the reference activity is turn-level).
+
+    ``pad_frames``: dilate every surviving interval by this many frames on
+    both sides (onset/offset collar).  Mask-derived activity starts at the
+    first frame with signal energy while reference VAD marks turn onsets
+    slightly earlier (window overlap + annotation margin); median smoothing
+    additionally erodes ~kernel/2 frames per boundary."""
     act = np.asarray(activity) > threshold
     act = median_smooth(act, smooth_kernel)
     out = []
@@ -113,9 +129,13 @@ def diarize_from_activity(activity, threshold=0.5, smooth_kernel=11,
             ivs = [tuple(iv) for iv in merged]
             ai = ArrayInterval(ivs, shape=len(row))
         if min_frames:
+            ivs = [iv for iv in ivs if iv[1] - iv[0] >= min_frames]
+            ai = ArrayInterval(ivs, shape=len(row))
+        if pad_frames and ivs:
+            n = len(row)
             ai = ArrayInterval(
-                [iv for iv in ivs
-                 if iv[1] - iv[0] >= min_frames], shape=len(row))
+                [(max(0, s - pad_frames), min(n, e + pad_frames))
+                 for s, e in ivs], shape=n)
         out.append(ai)
     return out
 
@@ -221,12 +241,13 @@ class ChunkedMaskEstimator:
         # score ~0.05 (chip rehearsal: calibration DER 0.776 at best
         # threshold 0.05, 11.3 s of 17.8 s missed).
         sig = 1 / (1 + np.exp(-np.squeeze(logits, axis=-3)))
-        if self.activity_stat.startswith('q'):
-            activity = np.quantile(sig, float(self.activity_stat[1:]) / 100,
-                                   axis=-1)
+        if isinstance(self.activity_stat, (list, tuple)):
+            # Sweep mode (tools/sweep_activity.py): one forward pass,
+            # activities for every candidate statistic.
+            activity = {s: activity_from_sig(sig, s)
+                        for s in self.activity_stat}
         else:
-            assert self.activity_stat == 'mean', self.activity_stat
-            activity = sig.mean(-1)
+            activity = activity_from_sig(sig, self.activity_stat)
         return masks, activity
 
 
@@ -245,6 +266,9 @@ class EvalDriver:
     #: corpora whose reference activity is turn-level while the speech
     #: pauses within turns (word-vocabulary simulations).
     merge_gap_frames: int = 0
+    #: Dilate diarized intervals by this many frames per side (onset/offset
+    #: collar; 0 = off).  See :func:`diarize_from_activity`.
+    pad_frames: int = 0
     #: Activity statistic, forwarded to :class:`ChunkedMaskEstimator`.
     activity_stat: str = None
     #: Optional SECOND model supplying the diarization (the canonical
@@ -298,7 +322,7 @@ class EvalDriver:
             _, activity = self.dia_chunked(self.dia_params, obs_stft, aux)
         dia = diarize_from_activity(
             activity, self.vad_threshold, self.smooth_kernel,
-            self.min_frames, self.merge_gap_frames)
+            self.min_frames, self.merge_gap_frames, self.pad_frames)
 
         if beamform is None:
             beamform = observation.shape[0] >= 6
@@ -430,7 +454,8 @@ def _wav_write_py(path, sig, sample_rate):
 
 
 def calibration_stats(activities, references, thresholds=None,
-                      smooth_kernel=11, min_frames=0, merge_gap=0):
+                      smooth_kernel=11, min_frames=0, merge_gap=0,
+                      pad_frames=0):
     """Per-threshold (error, reference) frame totals for the local
     calibration examples.  Returns (thresholds, err, ref) float64 arrays —
     the sufficient statistic for threshold selection, additive across
@@ -447,7 +472,7 @@ def calibration_stats(activities, references, thresholds=None,
             hyp = np.stack([np.asarray(ai, dtype=bool)
                             for ai in diarize_from_activity(
                                 act, th, smooth_kernel, min_frames,
-                                merge_gap)])
+                                merge_gap, pad_frames)])
             ref = np.asarray(ref, dtype=bool)
             frames = min(ref.shape[-1], hyp.shape[-1])
             r = der(ref[..., :frames], hyp[..., :frames])
@@ -458,7 +483,7 @@ def calibration_stats(activities, references, thresholds=None,
 
 def calibrate_threshold(activities, references, thresholds=None,
                         smooth_kernel=11, min_frames=0, merge_gap=0,
-                        cross_host=True):
+                        pad_frames=0, cross_host=True):
     """Pick the activity threshold minimizing DER over a calibration set.
 
     activities: list of (spk, frames) scores; references: list of matching
@@ -472,7 +497,7 @@ def calibrate_threshold(activities, references, thresholds=None,
     """
     ths, err, ref_tot = calibration_stats(
         activities, references, thresholds, smooth_kernel, min_frames,
-        merge_gap)
+        merge_gap, pad_frames)
     if cross_host:
         import jax
         if jax.process_count() > 1:
@@ -483,4 +508,17 @@ def calibrate_threshold(activities, references, thresholds=None,
             err, ref_tot = stacked[0], stacked[1]
     ders = err / np.maximum(ref_tot, 1)
     i = int(np.argmin(ders))
+    # Plateau-center tie-break: mask-derived activity is near-binary after
+    # post-processing, so the DER-vs-threshold curve is typically flat over
+    # a wide range and a bare argmin lands on the grid edge (the round-4
+    # 'calibrated to 0.01' smell).  Among thresholds within a hair of the
+    # minimum, take the middle of the contiguous plateau containing the
+    # argmin — maximally robust to calibration/eval distribution shift.
+    plateau_tol = ders[i] + max(0.002, 0.01 * ders[i])
+    lo = hi = i
+    while lo > 0 and ders[lo - 1] <= plateau_tol:
+        lo -= 1
+    while hi < len(ders) - 1 and ders[hi + 1] <= plateau_tol:
+        hi += 1
+    i = (lo + hi) // 2
     return float(ths[i]), float(ders[i])

@@ -148,7 +148,8 @@ def evaluate(eg, checkpoint=None, out=None, beamform=None, limit=None,
             th, cal_der = calibrate_threshold(
                 acts, refs, smooth_kernel=driver.smooth_kernel,
                 min_frames=driver.min_frames,
-                merge_gap=driver.merge_gap_frames)
+                merge_gap=driver.merge_gap_frames,
+                pad_frames=driver.pad_frames)
             print(f'Calibrated VAD threshold: {th:.2f} '
                   f'(calibration DER {cal_der:.3f})')
             driver.vad_threshold = th

@@ -74,6 +74,18 @@ def _config(work_dir, shards, stage, iters, batch, aux_size=64,
     return common
 
 
+def _dump_stage_config(storage_dir, full_cfg):
+    """Write the stage's complete factory config to
+    ``<storage_dir>/config.yaml`` (the reference dumps a re-runnable
+    ``config.yaml`` into every storage dir, ``run.py:138-152``); offline
+    tools (tools/sweep_activity.py, tools/diagnose_cpwer.py) rebuild the
+    experiment from it."""
+    from tssep_tpu.train.run import dump_config
+    storage_dir = Path(storage_dir)
+    storage_dir.mkdir(parents=True, exist_ok=True)
+    dump_config(storage_dir, {'eg': full_cfg})
+
+
 def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
          tsvad_iters=800, tssep_iters=800, batch=8, aux_size=513,
          duration=5.0, num_channels=1, reverb_taps=0, speaker_pool=16,
@@ -145,7 +157,9 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
     # 2. stage 1: TS-VAD
     print('=== Stage 1: TS-VAD')
     cfg = _config(work_dir, shards, 'tsvad', tsvad_iters, batch, aux_size)
-    eg = from_config(Experiment.get_config(cfg))
+    full_cfg = Experiment.get_config(cfg)
+    _dump_stage_config(work_dir / 'tsvad', full_cfg)
+    eg = from_config(full_cfg)
     eg.train()
     tsvad_ckpt = eg.trainer.checkpoint_dir / 'ckpt_best_loss.npz'
 
@@ -153,7 +167,9 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
     print('=== Stage 2: TS-SEP (warm start)')
     cfg = _config(work_dir, shards, 'tssep', tssep_iters, batch, aux_size,
                   checkpoint=tsvad_ckpt)
-    eg2 = from_config(Experiment.get_config(cfg))
+    full_cfg = Experiment.get_config(cfg)
+    _dump_stage_config(work_dir / 'tssep', full_cfg)
+    eg2 = from_config(full_cfg)
     eg2.train()
 
     # 4. score both stages on the (longer) eval meetings.  Word corpora
@@ -171,8 +187,17 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
     print('=== Eval: TS-VAD (diarization)')
     vad_metrics = evaluate(eg, beamform=False, driver_overrides=overrides)
     print('=== Eval: TS-SEP (separation, masking)')
+    # Standalone TS-SEP diarizes from its own masks.  Signal-level masks
+    # track words, not turns: bridge in-turn gaps (merge_gap above), score
+    # activity with a high frequency quantile (active speech is
+    # frequency-sparse; the freq mean of an active frame sits near the
+    # silence floor), and dilate onsets/offsets the reference VAD includes
+    # but the signal energy does not (tools/sweep_activity.py winner).
+    sep_overrides = dict(overrides or {})
+    sep_overrides.setdefault('activity_stat', 'q98')
+    sep_overrides.setdefault('pad_frames', 8)
     sep_metrics = evaluate(eg2, beamform=False, transcriber=transcriber,
-                           driver_overrides=overrides)
+                           driver_overrides=sep_overrides)
     if num_channels >= 6:
         # Multichannel rehearsal: the full ClassicBF MVDR path (per-VAD-
         # segment PSDs + Souden beamforming, reference enhancer.py:451-548)
