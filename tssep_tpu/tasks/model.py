@@ -215,16 +215,19 @@ class Model(Configurable):
 
         ds = ds.map(prepare)
 
-        if host_shard:
-            # Multi-host: deal examples round-robin by process index on the
-            # deterministic base order (before shuffle/batch), so the union
-            # of all hosts' local batches is the same global batch a
-            # single-host run would see.
-            from tssep_tpu.dist import multihost
-            ds = multihost.host_shard_dataset(ds)
-
         if training and not sort:
             ds = ds.shuffle(reshuffle=True)
+
+        if host_shard:
+            # Multi-host: deal examples round-robin by process index AFTER
+            # the (seed-deterministic, process-identical) shuffle, so the
+            # union of all hosts' local batches is exactly the global batch
+            # a single-host run would see.  Dealing before the shuffle
+            # would let each host reshuffle its share independently and
+            # silently change the effective batch composition
+            # (tests/test_multihost.py compares the trajectories).
+            from tssep_tpu.dist import multihost
+            ds = multihost.host_shard_dataset(ds)
 
         if batch_size is not None:
             ds = ds.batch(batch_size, drop_last=drop_last)

@@ -41,7 +41,10 @@ def _to_host(leaf) -> np.ndarray:
     """Fetch one leaf to host, gathering cross-process shards if needed."""
     if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
         from jax.experimental import multihost_utils
-        return np.asarray(multihost_utils.process_allgather(leaf))
+        # tiled=True: gather the GLOBAL array value (stack-by-process mode
+        # rejects non-fully-addressable inputs).
+        return np.asarray(multihost_utils.process_allgather(leaf,
+                                                            tiled=True))
     return np.asarray(leaf)
 
 

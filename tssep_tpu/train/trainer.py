@@ -114,7 +114,10 @@ def _host_fetch(x):
     the same trigger-synchronized logging code."""
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
         from jax.experimental import multihost_utils
-        return np.asarray(multihost_utils.process_allgather(x))
+        # tiled=True: a GLOBAL (non-fully-addressable) array gathers into
+        # its global value; tiled=False (stack-by-process) is only valid
+        # for host-local inputs and raises here.
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(x)
 
 
@@ -258,15 +261,22 @@ class Trainer(Configurable):
             return arrays
         from tssep_tpu.dist import multihost
         from tssep_tpu.dist.mesh import shard_batch, DATA_AXIS
+        multi = multihost.is_initialized() and jax.process_count() > 1
+        # Each process holds its LOCAL batch here; the divisibility
+        # requirement is per-process (local batch % local data devices),
+        # equivalently global batch % global data axis.
         data_size = self.mesh.shape[DATA_AXIS]
+        if multi:
+            data_size = max(1, data_size // jax.process_count())
         for k, v in arrays.items():
             if hasattr(v, 'ndim') and v.ndim >= 1 \
                     and v.shape[0] % data_size != 0:
                 raise ValueError(
                     f'Batch axis of {k!r} ({v.shape[0]}) must be divisible '
-                    f'by the mesh data axis ({data_size}); adjust '
+                    f'by the {"per-process share of the " if multi else ""}'
+                    f'mesh data axis ({data_size}); adjust '
                     f'train/validation batch size.')
-        if multihost.is_initialized() and jax.process_count() > 1:
+        if multi:
             return multihost.global_batch_from_local(arrays, self.mesh)
         return shard_batch(arrays, self.mesh)
 
@@ -394,9 +404,14 @@ class Trainer(Configurable):
                 host = {k: _local_fetch(v) if hasattr(v, 'shape') else v
                         for k, v in arrays.items()}
                 out = self._snap_fn(jax.device_get(self.params), host, key)
+                # host copies, not `arrays`: on a pod the raw batch spans
+                # non-addressable devices and add_snapshots' np.asarray
+                # would raise (caught by tests/test_multihost.py).
+                model.add_snapshots(host, _fetch_complex_safe(out), summary)
             else:
                 out = self._snap_fn(self.params, arrays, key)
-            model.add_snapshots(arrays, _fetch_complex_safe(out), summary)
+                model.add_snapshots(arrays, _fetch_complex_safe(out),
+                                    summary)
         except Exception as e:  # noqa: BLE001 - observability must not kill training
             if strict:
                 raise
