@@ -213,6 +213,41 @@ def test_grad_accumulation_under_mesh(tmp_path):
             err_msg=f'param {k} diverged under mesh accumulation')
 
 
+def test_sharded_rng_speaker_order_consistency(tmp_path):
+    """With random_speaker_order=True the per-example permutation draw is
+    identical under mesh=None, jit-SPMD DP, and the shard_map path: every
+    mode derives example i's key as split(step_key, B_global)[i] (the
+    shard_map caller pre-splits outside the shard — an in-shard
+    split(key, B_local) would silently duplicate draws across shards).
+    Identical draws => identical loss trajectories; a duplicated/diverged
+    permutation shifts the loss at O(1e-2), far above the tolerance."""
+
+    def run(name, mesh):
+        config = _load_reduced('init_cfg_tsvad.yaml', tmp_path / name)
+        nv = NestedView(config)
+        nv['eg.trainer.stop_trigger'] = [2, 'iteration']
+        nv['eg.trainer.model.mask_estimator.random_speaker_order'] = True
+        config['eg']['trainer']['model']['reader']['train_examples'] = 8
+        config['eg']['trainer']['mesh'] = mesh
+        config['eg']['train_batchsize'] = 4
+        config['eg']['validation_batchsize'] = 4
+        eg: Experiment = from_config(Experiment.get_config(config['eg']))
+        eg.train()
+        return _train_losses(tmp_path / name)
+
+    ref = run('rng_single', None)
+    spmd = run('rng_spmd', {'data': 4, 'model': 1})
+    smap = run('rng_smap', {'data': 4, 'model': 1, 'shard_map': True})
+    assert ref and ref.keys() == spmd.keys() == smap.keys()
+    for step in ref:
+        np.testing.assert_allclose(
+            spmd[step], ref[step], rtol=1e-5,
+            err_msg=f'jit-SPMD permutation draw diverged at step {step}')
+        np.testing.assert_allclose(
+            smap[step], ref[step], rtol=1e-5,
+            err_msg=f'shard_map permutation draw diverged at step {step}')
+
+
 def test_validation_partial_batch_dropped_under_mesh(tmp_path):
     """A validation set whose size isn't divisible by the batch leaves a
     partial tail batch; under a mesh it must be dropped, not crash

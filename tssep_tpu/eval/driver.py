@@ -462,8 +462,12 @@ def calibration_stats(activities, references, thresholds=None,
     hosts."""
     if thresholds is None:
         # Low-end densified: a freq-averaged mask of frequency-sparse
-        # speech legitimately peaks well below 0.5.
-        thresholds = np.concatenate([[0.01, 0.02, 0.03],
+        # speech legitimately peaks well below 0.5, and the silent-frame
+        # floor of mask statistics sits near ~1e-3 — the grid must reach
+        # below the active-frame scores without touching that floor, or
+        # the optimum pins to the grid edge.
+        thresholds = np.concatenate([[0.003, 0.005, 0.007],
+                                     [0.01, 0.02, 0.03],
                                      np.linspace(0.05, 0.9, 18)])
     err = np.zeros(len(thresholds))
     ref_tot = np.zeros(len(thresholds))

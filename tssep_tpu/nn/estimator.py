@@ -306,12 +306,27 @@ class MaskEstimator(Configurable):
         S = aux.shape[1]
         trials = self.num_averaged_permutations
 
+        # 0. RNG normalization: ``rng`` is either one key (2,) or
+        # PER-EXAMPLE keys (B, 2).  Per-example draws always come from
+        # ``split(step_key, B_global)[i]`` so they are identical under
+        # mesh=None, jit-SPMD data parallelism, and shard_map (where each
+        # shard receives only its slice of the pre-split keys — a naive
+        # in-shard split(key, B_local) would duplicate draws across
+        # shards; tests/test_dist_train.py asserts the consistency).
+        keys = None
+        if rng is not None:
+            rng = jnp.asarray(rng)
+            keys = rng if rng.ndim == 2 else jax.random.split(rng, B)
+            # Batch-level stream (dropout): decorrelated from the
+            # per-example stream by fold_in tag.
+            rng = jax.random.fold_in(keys[0], 1)
+
         # 1. random speaker order (invertible, explicit PRNG)
         perm = None
-        if self.random_speaker_order and rng is not None:
-            rng, sub = jax.random.split(rng)
-            perm = jax.vmap(lambda k: jax.random.permutation(k, S))(
-                jax.random.split(sub, B))
+        if self.random_speaker_order and keys is not None:
+            perm = jax.vmap(
+                lambda k: jax.random.permutation(
+                    jax.random.fold_in(k, 0), S))(keys)
             ix = perm.reshape(perm.shape + (1,) * (aux.ndim - 2))
             aux = jnp.take_along_axis(aux, ix, axis=1)
             if aux_lengths is not None:

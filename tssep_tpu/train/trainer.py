@@ -72,12 +72,16 @@ class _ShardMapCaller:
     The compiled callable is cached per batch tree structure.
     """
 
-    def __init__(self, fn, mesh, n_state, n_replicated_out, donate=False):
+    def __init__(self, fn, mesh, n_state, n_replicated_out, donate=False,
+                 key_sharded=False):
         self.fn = fn
         self.mesh = mesh
         self.n_state = n_state
         self.n_replicated_out = n_replicated_out
         self.donate = donate
+        #: True: the trailing key operand is per-example keys (B, 2),
+        #: sharded over 'data' like the batch.
+        self.key_sharded = key_sharded
         self._cache = {}
 
     def __call__(self, *args):
@@ -95,7 +99,8 @@ class _ShardMapCaller:
         cache_key = (treedef, specs)
         fn_c = self._cache.get(cache_key)
         if fn_c is None:
-            in_specs = tuple([P()] * self.n_state) + (bspec, P())
+            in_specs = tuple([P()] * self.n_state) + (
+                bspec, P(DATA_AXIS) if self.key_sharded else P())
             out_specs = tuple([P()] * self.n_replicated_out) + (P(DATA_AXIS),)
             mapped = shard_map(self.fn, mesh=self.mesh, in_specs=in_specs,
                                out_specs=out_specs, check_vma=False)
@@ -343,14 +348,28 @@ class Trainer(Configurable):
 
                 _update = _ShardMapCaller(sharded_update, self.mesh,
                                           n_state=2, n_replicated_out=3,
-                                          donate=True)
+                                          donate=True, key_sharded=True)
                 _eval = _ShardMapCaller(sharded_eval, self.mesh,
-                                        n_state=1, n_replicated_out=1)
+                                        n_state=1, n_replicated_out=1,
+                                        key_sharded=True)
+
+                def _batched_keys(batch, key):
+                    # Pre-split per-example keys OUTSIDE the shard so each
+                    # shard works on its slice of split(key, B_global) —
+                    # per-example RNG identical to jit-SPMD / single-device
+                    # (an in-shard split(key, B_local) would duplicate
+                    # draws across shards).
+                    b_global = next(v.shape[0] for v in batch.values()
+                                    if getattr(v, 'ndim', 0) >= 1)
+                    return jax.random.split(key, b_global)
+
                 self._update_fn = lambda p, o, b, k: (
                     lambda r: (r[0], r[1], r[2],
-                               {'per_example_loss': r[3]}))(_update(p, o, b, k))
+                               {'per_example_loss': r[3]}))(
+                    _update(p, o, b, _batched_keys(b, k)))
                 self._eval_fn = lambda p, b, k: (
-                    lambda r: (r[0], {'per_example_loss': r[1]}))(_eval(p, b, k))
+                    lambda r: (r[0], {'per_example_loss': r[1]}))(
+                    _eval(p, b, _batched_keys(b, k)))
             else:
                 def update(params, opt_state, batch, key):
                     (loss, aux), grads = jax.value_and_grad(
