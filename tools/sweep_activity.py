@@ -104,7 +104,8 @@ def main(work_dir, out=None, stats=STATS, limit_cal=4, limit_eval=None):
 
     # Threshold grid bounds (interior check): same grid as
     # calibration_stats' default.
-    grid = np.concatenate([[0.01, 0.02, 0.03], np.linspace(0.05, 0.9, 18)])
+    grid = np.concatenate([[0.003, 0.005, 0.007], [0.01, 0.02, 0.03],
+                           np.linspace(0.05, 0.9, 18)])
 
     pads = (0, 4, 8, 12)
     rows = []

@@ -136,6 +136,17 @@ class CTCRecognizer(Transcriber):
             num_samples = rng.randint(max_samples // 2, max_samples + 1)
             sig, words = simulator.word_utterance(
                 rng, num_samples, f0, timbre)
+            # Domain-match the corpus reverberation: the eval targets are
+            # ch0 *images* (direct path + decaying taps, simulate.py:296),
+            # and a dry-trained recognizer collapses on them (R5G: cpWER
+            # floor 0.5625 on ORACLE CLEAN streams vs 0.056 on dry
+            # speech).  Same tap distribution as the simulator.
+            for tap in range(getattr(simulator, 'reverb_taps', 0)):
+                d = rng.randint(40, 400)
+                g = 0.5 ** (tap + 1) * rng.uniform(0.3, 1.0)
+                tail = np.roll(sig, d) * g
+                tail[:d] = 0
+                sig = sig + tail
             snr = rng.uniform(8, 25)
             noise = rng.randn(num_samples).astype(np.float32)
             p_sig = np.mean(sig ** 2) + 1e-9

@@ -98,6 +98,20 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
 
     ``train_examples=None`` scales the corpus with the optimizer budget so
     each meeting is seen at most ~25 times."""
+    # Numerics: the flagship recipe trains in the BENCH configuration
+    # (bf16 compute chain + bf16 head, bench.py:42,49) so the headline
+    # throughput and the headline end-metrics come from the same numerics
+    # (round-4 verdict weak #3).  Rehearsal-scale evidence: TPU_R5C (bf16)
+    # vs TPU_R4I (f32) — DER identical (0.010/0.026), SI-SDR and cpWER
+    # deltas within 4-recording noise (RESULTS.md).  Opt out with
+    # TSSEP_COMPUTE_DTYPE=float32.  Env must be set before the estimator
+    # module is imported (module-level dtype constants); skip if a caller
+    # already imported it (tests import the library f32-default).
+    import os
+    if 'tssep_tpu.nn.estimator' not in sys.modules:
+        os.environ.setdefault('TSSEP_COMPUTE_DTYPE', 'bfloat16')
+        os.environ.setdefault('TSSEP_HEAD_BF16', '1')
+
     from tssep_tpu.config.configurable import from_config
     from tssep_tpu.data.simulate import MeetingSimulator, simulate_corpus
     from tssep_tpu.eval.run import evaluate
@@ -144,7 +158,7 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
         asr_sim = MeetingSimulator(
             duration=duration, aux_size=aux_size, seed=3,
             embedding_kind='gate', speaker_pool=speaker_pool,
-            vocabulary=vocabulary)
+            vocabulary=vocabulary, reverb_taps=reverb_taps)
         if asr_path.exists():
             transcriber = CTCRecognizer(vocabulary=vocabulary).load(asr_path)
             print(f'Loaded CTC recognizer from {asr_path}')
