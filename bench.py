@@ -69,6 +69,11 @@ def parse_args(argv=None):
     p.add_argument('--infer', action='store_true',
                    help='inference (serving forward) throughput instead '
                         'of the training step')
+    p.add_argument('--stage-budget', action='store_true',
+                   help='per-stage time attribution: measure a ladder of '
+                        'truncated steps (loss attached at successively '
+                        'later pipeline points; XLA dead-code-eliminates '
+                        'everything downstream) and print the differences')
     return p.parse_args(argv)
 
 
@@ -145,6 +150,77 @@ def measure(params, opt_state, step, gen, n_steps, *, place=None):
         params, opt_state, loss = step(params, opt_state, batch, key)
     float(loss)  # forces the whole dependent chain
     return time.perf_counter() - t0
+
+
+#: Attribution ladder: each entry is a full train step (fwd+bwd+clip+Adam)
+#: truncated at the named point; successive differences attribute wall time
+#: to [input pipeline, STFT+features, pre_net, birnn0, birnn1, birnn2
+#: (+stacking), final linear, head transpose, trials/revert/sigmoid,
+#: masked synthesis, ISTFT+loss].
+STAGES = ('gen', 'feat', 'pre_net', 'birnn0', 'birnn1', 'birnn2',
+          'linear', 'head', 'mask', 'synthesis', 'full')
+
+
+def run_stage_budget(args):
+    import jax
+    import jax.numpy as jnp
+
+    model, params, opt_state, _, make_batch = build(args.batch)
+    tx_holder = {}
+
+    def staged_loss(params, ex, key, stage):
+        if stage == 'gen':
+            return jnp.sum(ex['observation'])
+        ref = ex['reference_channel']
+        obs_stft = model.fe.stft(ex['observation'])
+        feats = model.fe.stft_to_feature(
+            obs_stft[..., ref, :, :]).astype(jnp.float32)
+        if stage == 'feat':
+            return jnp.sum(feats)
+        if stage in ('pre_net', 'birnn0', 'birnn1', 'birnn2', 'linear',
+                     'head'):
+            h = model.mask_estimator.apply(
+                params['mask_estimator'], feats, ex['auxInput'],
+                rng=key, training=True, stage=stage)
+            return jnp.sum(h.astype(jnp.float32))
+        out = model.forward(params, ex, rng=key, training=True)
+        if stage == 'mask':
+            return jnp.sum(out.mask.astype(jnp.float32))
+        if stage == 'synthesis':
+            est = getattr(out, '_re_im_estimate', None)
+            if est is None:
+                est = (out.stft_estimate.real, out.stft_estimate.imag)
+            return sum(jnp.sum(e.astype(jnp.float32)) for e in est)
+        loss, _ = model.review_loss(ex, out)
+        return loss
+
+    from tssep_tpu.train.optimizer import Adam
+    rows = []
+    prev = None
+    for stage in STAGES:
+        tx = tx_holder.setdefault('tx', Adam(gradient_clipping=10,
+                                             lr=1e-3).make())
+
+        def train_step(params, opt_state, batch_, key, _stage=stage):
+            loss, grads = jax.value_and_grad(staged_loss)(
+                params, batch_, key, _stage)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            params, updates)
+            return params, opt_state, loss
+
+        step = jax.jit(train_step)          # no donation: params reused
+        gen = jax.jit(make_batch)
+        elapsed = measure(params, opt_state, step, gen, args.steps)
+        ms = elapsed / args.steps * 1e3
+        rows.append({'stage': stage, 'step_ms': round(ms, 1),
+                     'delta_ms': round(ms - prev, 1) if prev is not None
+                     else None})
+        prev = ms
+        print(json.dumps(rows[-1]), flush=True)
+    print(json.dumps({'stage_budget': rows, 'batch': args.batch,
+                      'steps': args.steps}))
+    return rows
 
 
 def run_single(args):
@@ -261,6 +337,10 @@ def main(argv=None):
 
     vs_baseline = 1.0
     baseline_file = Path(__file__).parent / 'BASELINE_LOCAL.json'
+
+    if args.stage_budget:
+        run_stage_budget(args)
+        return
 
     if args.mesh:
         axes = _parse_mesh(args.mesh)

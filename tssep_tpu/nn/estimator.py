@@ -292,9 +292,16 @@ class MaskEstimator(Configurable):
 
     # -- forward -----------------------------------------------------------
     def apply(self, params, xs, aux, *, rng=None, training=False,
-              aux_lengths=None) -> Output:
+              aux_lengths=None, stage=None) -> Output:
         """xs: (T, F) or (B, T, F); aux: (S, A) / (B, S, A) / (+ aux-frame dim
-        when ``aux_net`` is set).  Returns masks (B?, S, nmask, T, odim)."""
+        when ``aux_net`` is set).  Returns masks (B?, S, nmask, T, odim).
+
+        ``stage``: profiling hook (bench.py --stage-budget): return the raw
+        intermediate tensor right after the named stage ('pre_net',
+        'birnn0'..'birnn{L-1}', 'linear', 'head') instead of the full
+        Output — with a scalar loss attached there, XLA dead-code-
+        eliminates everything downstream, which is how the per-stage time
+        budget is measured by differences on hardware."""
         batched = xs.ndim == 3
         if not batched:
             xs = xs[None]
@@ -346,6 +353,9 @@ class MaskEstimator(Configurable):
         if self.pre_net is not None:
             xs = self.pre_net.apply(params['pre_net'], xs, rng=rng,
                                     training=training)
+
+        if stage == 'pre_net':
+            return xs
 
         if COMPUTE_DTYPE is not None:
             xs = xs.astype(COMPUTE_DTYPE)
@@ -418,6 +428,8 @@ class MaskEstimator(Configurable):
                 remat = False
             h = birnn.apply(params['post_net'][f'birnn{l}'], h, rng=rng,
                             training=training, remat=remat)
+            if stage == f'birnn{l}':
+                return h
             if l < self.layers - 1:
                 if training and self.dropout > 0 and rng is not None:
                     rng, sub = jax.random.split(rng)
@@ -428,7 +440,11 @@ class MaskEstimator(Configurable):
         lin = params['post_net'][f'linear{self.layers - 1}']
         logit = (h @ lin['weight'].T.astype(h.dtype)
                  + lin['bias'].astype(h.dtype))
+        if stage == 'linear':
+            return logit
         logit = self.reshape_head(logit, S, T)
+        if stage == 'head':
+            return logit
 
         # 7. un-average permutation trials
         if trials > 1:
