@@ -227,7 +227,13 @@ def run_single(args):
     import jax
 
     model, params, opt_state, train_step, make_batch = build(args.batch)
-    step = jax.jit(train_step, donate_argnums=(0, 1))
+    # TSSEP_BENCH_DONATE=0: compile without buffer donation.  The R5J
+    # stage-budget ladder (no donation, same computation) measured the
+    # full step at 380 ms vs the donating default's ~431 ms — donation
+    # changes the scheduler's aliasing constraints, another instance of
+    # the round-4 'scheduler cliff'.
+    donate = os.environ.get('TSSEP_BENCH_DONATE', '1') != '0'
+    step = jax.jit(train_step, donate_argnums=(0, 1) if donate else ())
 
     if args.tiled:
         batch0 = jax.jit(make_batch)(jax.random.PRNGKey(2))
