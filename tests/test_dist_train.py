@@ -63,6 +63,7 @@ def single_device_run(tmp_path_factory):
     return _named(eg.trainer.params), _train_losses(tmp / 'tsvad')
 
 
+@pytest.mark.slow
 def test_dp_mesh_matches_single_device(tmp_path, single_device_run):
     """4-way data-parallel (XLA SPMD partitioning) == single device."""
     ref_params, ref_losses = single_device_run
@@ -79,6 +80,7 @@ def test_dp_mesh_matches_single_device(tmp_path, single_device_run):
     assert (ckpt_dir / 'ckpt_latest.npz').exists()
 
 
+@pytest.mark.slow
 def test_shard_map_dp_matches_single_device(tmp_path, single_device_run):
     """The explicit shard_map step (the path the Pallas backend uses on
     TPU) == single device: identical first-step loss (same params, same
@@ -102,6 +104,7 @@ def test_shard_map_dp_matches_single_device(tmp_path, single_device_run):
             got[k], ref, rtol=2e-2, atol=3e-3, err_msg=k)
 
 
+@pytest.mark.slow
 def test_mesh_model_parallel_end_to_end(tmp_path):
     """data=2 x model=2 through Experiment.train(): finite losses,
     checkpoints written, resume continues on the mesh."""
@@ -132,6 +135,7 @@ def test_mesh_model_parallel_end_to_end(tmp_path):
     assert eg2.trainer.iteration == 4
 
 
+@pytest.mark.slow
 def test_tp_mesh_matches_single_device(tmp_path, single_device_run):
     """data=2 x model=2 == single device: loss trajectory AND final
     parameters.  Tensor parallelism here is pure SPMD partitioning of the
@@ -157,6 +161,7 @@ def test_tp_mesh_matches_single_device(tmp_path, single_device_run):
             got[k], ref, rtol=2e-2, atol=3e-3, err_msg=k)
 
 
+@pytest.mark.slow
 def test_mesh_validation_and_metrics(tmp_path):
     """Validation hook + summary writer run under the mesh."""
     eg = _prepare(tmp_path, 'tsvad_val', mesh={'data': 4, 'model': 1}, stop=2)
@@ -192,6 +197,7 @@ def test_batch_divisibility_error(tmp_path):
         eg.train()
 
 
+@pytest.mark.slow
 def test_grad_accumulation_under_mesh(tmp_path):
     """virtual_minibatch_size > 1 under a DP mesh reproduces the
     single-device accumulated trajectory (same optimizer-step count and
@@ -213,6 +219,7 @@ def test_grad_accumulation_under_mesh(tmp_path):
             err_msg=f'param {k} diverged under mesh accumulation')
 
 
+@pytest.mark.slow
 def test_sharded_rng_speaker_order_consistency(tmp_path):
     """With random_speaker_order=True the per-example permutation draw is
     identical under mesh=None, jit-SPMD DP, and the shard_map path: every
@@ -248,6 +255,7 @@ def test_sharded_rng_speaker_order_consistency(tmp_path):
             err_msg=f'shard_map permutation draw diverged at step {step}')
 
 
+@pytest.mark.slow
 def test_validation_partial_batch_dropped_under_mesh(tmp_path):
     """A validation set whose size isn't divisible by the batch leaves a
     partial tail batch; under a mesh it must be dropped, not crash

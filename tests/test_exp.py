@@ -81,6 +81,7 @@ def test_run_tsvad(tmp_path):
     assert (tmp_path / 'tsvad' / 'metrics.jsonl').exists()
 
 
+@pytest.mark.slow
 def test_run_tssep(tmp_path):
     config = _load_reduced('init_cfg_tssep.yaml', tmp_path / 'tssep')
     # no warm-start checkpoint in this test
@@ -93,6 +94,7 @@ def test_run_tssep(tmp_path):
     assert (tmp_path / 'tssep' / 'checkpoints' / 'ckpt_best_loss.npz').exists()
 
 
+@pytest.mark.slow
 def test_early_stop_patience(tmp_path, monkeypatch):
     """early_stop_patience stops training once validation stops improving
     (the round-3 rehearsal overfit for 800 iterations; the evaluated best
@@ -117,6 +119,7 @@ def test_early_stop_patience(tmp_path, monkeypatch):
     assert (eg.trainer.checkpoint_dir / 'ckpt_best_loss.npz').exists()
 
 
+@pytest.mark.slow
 def test_resume(tmp_path):
     """Training twice resumes from ckpt_latest (reference resume semantics)."""
     config = _load_reduced('init_cfg_tsvad.yaml', tmp_path / 'tsvad')
@@ -223,6 +226,7 @@ def test_vad2sep_broadcast(tmp_path):
     test_broadcast_modes()
 
 
+@pytest.mark.slow
 def test_eval_cli(tmp_path):
     """Train the shrunken TS-VAD toy then score it through the eval CLI
     entry (checkpoint loading, eval dataset, DER, wav export)."""
@@ -245,6 +249,7 @@ def test_eval_cli(tmp_path):
     assert len(wavs) == 2 * 8  # 2 recordings x 8 speakers
 
 
+@pytest.mark.slow
 def test_eval_joint_dia(tmp_path):
     """evaluate(dia_eg=...) — the canonical joint deployment: diarization
     (activity + threshold calibration) comes from the dia experiment's
@@ -278,6 +283,7 @@ def test_eval_joint_dia(tmp_path):
     assert (tmp_path / 'joint_out' / 'metrics.json').exists()
 
 
+@pytest.mark.slow
 def test_checkpoint_retention(tmp_path):
     """max_checkpoints prunes numbered checkpoints, keeping best/latest
     targets (reference checkpoint bookkeeping, ``experiment.py:224``)."""
@@ -315,6 +321,7 @@ def test_host_info_capture(tmp_path):
     assert isinstance(captured['env'], dict)
 
 
+@pytest.mark.slow
 def test_async_checkpoints(tmp_path):
     """async_checkpoints=True overlaps checkpoint IO with training; files
     land on disk by train() return, resume works (Orbax-async idea on the

@@ -84,6 +84,7 @@ def test_bidi_kernel_grads_match_scan(kb, data):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_layer_vjp_matches_scan(kb, data):
     """The projection-recompute layer VJP: fwd + all grads vs scan."""
     x, params, H = data
@@ -222,6 +223,7 @@ def test_fullfused_spill_batch_padding(kb, data):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fullfused_bf16_storage_grads(kb, data):
     """The bf16 streaming policy (storage-dtype dx outputs + dhs inputs,
     round 4) stays within bf16 quantization of the f32 scan gradients —
@@ -353,6 +355,7 @@ def test_fullfused_cond_batch_padding(kb, cond_data):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_estimator_cond_fused_matches_default(kb, cond_data, monkeypatch):
     """The estimator path with CONDFUSE on == the materialized default,
     including permutation-trial ensembling riding through the fused

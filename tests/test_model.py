@@ -64,6 +64,7 @@ def test_review_loss_close_to_reference(toy_model):
                                [0.74157, 0.74449], rtol=0.02)
 
 
+@pytest.mark.slow
 def test_grads_flow_through_everything(toy_model):
     ds = toy_model.prepare_validate_dataset(prefetch=False, batch_size=1)
     ex = next(iter(ds))
@@ -106,6 +107,7 @@ def test_sorted_testrun_dataset(toy_model):
     assert len(exs) == 10
 
 
+@pytest.mark.slow
 def test_explicit_vad_joint_loss_end_to_end():
     """SignalAndVADSigmoidBCE + explicit_vad head: forward, loss, grads."""
     import jax.numpy as jnp

@@ -107,6 +107,7 @@ class TestMaskEstimator:
             np.asarray(out.mask).max(-1).clip(max=np.asarray(out.vad_mask)),
             rtol=1e-6)
 
+    @pytest.mark.slow
     def test_speaker_order_invariance(self):
         """Same key -> mask output must be invariant to the internal random
         speaker order (the inverse permutation must revert it)."""
@@ -144,6 +145,7 @@ class TestMaskEstimator:
         # speaker-major grouping: first `trials` entries belong to speaker 0
         assert list(np.asarray(idx)[got[:2]]) == [0, 0]
 
+    @pytest.mark.slow
     def test_grad_flows_everywhere(self):
         me = MaskEstimator(idim=20, odim=9, combination='cat',
                            aux_net_output_size=9, units=4, projs=5,

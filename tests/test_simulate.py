@@ -40,6 +40,7 @@ def test_simulator_example_contract():
 
 
 @pytest.mark.skipif(not native.available(), reason='native runtime not built')
+@pytest.mark.slow
 def test_corpus_roundtrip_and_training(tmp_path):
     from tssep_tpu.data.shard_corpus import ShardCorpusReader
     from tssep_tpu.tasks.model import Model

@@ -42,6 +42,7 @@ def _collect(session, samples, block=1500):
     return chunks
 
 
+@pytest.mark.slow
 def test_streaming_matches_offline_with_full_lookahead(setup):
     """With lookahead >= the whole utterance every emitted chunk is
     bit-identical to offline inference (fwd states exact, rev sees all
@@ -115,6 +116,7 @@ def test_streaming_activity_shape_tsvad(setup):
         assert np.all(activity >= 0) and np.all(activity <= 1)
 
 
+@pytest.mark.slow
 def test_streaming_audio_bit_parity_with_offline(setup):
     """emit_audio=True: streaming mask-multiply + incremental ISTFT
     overlap-add equals the offline synthesis of the same masked frames

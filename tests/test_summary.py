@@ -4,6 +4,7 @@ multihost batch assembly."""
 import json
 
 import numpy as np
+import pytest
 
 from tssep_tpu.train.summary import ReviewSummary, SummaryWriter
 
@@ -60,6 +61,7 @@ def test_global_batch_from_local():
     assert out['x'].sharding.spec[0] == 'data'
 
 
+@pytest.mark.slow
 def test_training_emits_rich_snapshots(tmp_path):
     """Training (TS-SEP toy) emits audio + spectrogram/mask images at
     summary and validation triggers (reference model.py:692-752,

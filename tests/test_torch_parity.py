@@ -403,6 +403,7 @@ def test_rnnp_gru_typ_dispatch():
 # Same init (torch weights imported), same batches (the materialized
 # pipeline output, cycled identically), losses compared per micro-batch.
 # --------------------------------------------------------------------------
+@pytest.mark.slow
 def test_training_trajectory_matches_torch(tmp_path):
     import itertools
 

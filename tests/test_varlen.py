@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tssep_tpu.data.dummy import DummyReader, staircase_vad
 from tssep_tpu.data import pipeline
@@ -66,6 +67,7 @@ def test_varlen_collate_and_masks():
         assert np.abs(obs[i, :, n:]).max() == 0
 
 
+@pytest.mark.slow
 def test_varlen_masked_logmae_matches_per_example():
     """The padded-batch masked loss must equal per-example unpadded losses."""
     model = _model({'factory': 'tssep_tpu.tasks.losses.LogMAE',
@@ -94,6 +96,7 @@ def test_varlen_masked_logmae_matches_per_example():
     np.testing.assert_allclose(batched, singles, rtol=3e-3)
 
 
+@pytest.mark.slow
 def test_varlen_vad_loss():
     model = _model({'factory': 'tssep_tpu.tasks.losses.VADSigmoidBCE',
                     'target': 'Vad'}, 't')

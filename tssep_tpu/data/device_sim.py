@@ -75,9 +75,24 @@ class DeviceMeetingSimulator:
         freqs = f0s[..., None] * jnp.arange(1, h + 1)        # (B, S, H)
         # mask harmonics beyond ~Nyquist
         alive = (freqs < 0.95 * self.sample_rate / 2).astype(jnp.float32)
-        # (B,S,H,1)*(T,) -> sum over H; chunk to bound memory
-        arg = (2 * np.pi) * freqs[..., None] * t + phases[..., None]
-        sig = jnp.sum((amps * alive)[..., None] * jnp.sin(arg), axis=2)
+        coeff = amps * alive                                  # (B, S, H)
+        # Harmonic bank via the complex-exponential power chain:
+        # sin(h*w*t + p_h) = cos(p_h)*Im(z^h) + sin(p_h)*Re(z^h) with
+        # z = e^{i*w*t}.  ONE sin+cos per (B, S, T) element + cheap
+        # complex multiplies per harmonic, instead of H sin evaluations
+        # over the (B, S, H, T) tensor — at bench dims that tensor is
+        # 1.3e9 elements and its transcendentals dominated the on-device
+        # input pipeline's share of the train step (TPU_R5J 'gen' stage).
+        ang = (2 * np.pi) * f0s[..., None] * t                # (B, S, T)
+        zr, zi = jnp.cos(ang), jnp.sin(ang)
+        cp, sp = jnp.cos(phases), jnp.sin(phases)             # (B, S, H)
+        hr, hi = zr, zi                                       # z^1
+        sig = coeff[..., 0, None] * (cp[..., 0, None] * hi
+                                     + sp[..., 0, None] * hr)
+        for k in range(1, h):
+            hr, hi = hr * zr - hi * zi, hr * zi + hi * zr     # z^(k+1)
+            sig = sig + coeff[..., k, None] * (cp[..., k, None] * hi
+                                               + sp[..., k, None] * hr)
         am_f = jax.random.uniform(k_am_f, (b, s, 1), minval=1.0, maxval=4.0)
         am_p = jax.random.uniform(k_am_p, (b, s, 1), maxval=2 * np.pi)
         am = 0.5 + 0.5 * jnp.sin(2 * np.pi * am_f * t + am_p)

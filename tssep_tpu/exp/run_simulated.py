@@ -210,6 +210,10 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
     sep_overrides = dict(overrides or {})
     sep_overrides.setdefault('activity_stat', 'q98')
     sep_overrides.setdefault('pad_frames', 8)
+    if overrides:
+        # Sweep winner (TPU_R5F): 2x the word-gap bridge — mask activity
+        # also gaps at soft word onsets/decays, not just scripted pauses.
+        sep_overrides['merge_gap_frames'] = 2 * overrides['merge_gap_frames']
     sep_metrics = evaluate(eg2, beamform=False, transcriber=transcriber,
                            driver_overrides=sep_overrides)
     if num_channels >= 6:
