@@ -285,11 +285,19 @@ def main(argv=None):
                 transcriber = obj() if n_required == 0 else obj
             else:
                 transcriber = obj
+        # ``driver.<field>=value`` CLI overrides map onto EvalDriver fields
+        # (e.g. driver.activity_stat=q98 driver.pad_frames=8
+        # driver.merge_gap_frames=58 driver.vad_threshold=0.3).
+        driver_overrides = {}
+        for k in list(overrides):
+            if k.startswith('driver.'):
+                driver_overrides[k[len('driver.'):]] = overrides.pop(k)
         config = build_config(files, overrides)
         eg = from_config(config['eg'])
         return evaluate(eg, checkpoint=checkpoint, out=out,
                         beamform=beamform, limit=limit,
-                        transcriber=transcriber, strict=strict_)
+                        transcriber=transcriber, strict=strict_,
+                        driver_overrides=driver_overrides or None)
 
     return run_with_pdb(dispatch, use_pdb)
 
