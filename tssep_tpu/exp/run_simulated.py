@@ -87,7 +87,7 @@ def _dump_stage_config(storage_dir, full_cfg):
 
 
 def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
-         tsvad_iters=800, tssep_iters=800, batch=8, aux_size=513,
+         tsvad_iters=1600, tssep_iters=800, batch=8, aux_size=513,
          duration=5.0, num_channels=1, reverb_taps=0, speaker_pool=16,
          strict_comparison=True, vocabulary=0, ctc_steps=900):
     """``speaker_pool`` defaults to a CLOSED set of 16 voices shared by the
@@ -176,6 +176,23 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
     eg = from_config(full_cfg)
     eg.train()
     tsvad_ckpt = eg.trainer.checkpoint_dir / 'ckpt_best_loss.npz'
+    # The 8-speaker conditioning task has a long loss plateau (~0.52 BCE =
+    # activity base rate) whose escape iteration varies with the RNG
+    # stream (observed 480-560 in TPU_R5C; past 800 in TPU_R5K — which is
+    # why tsvad_iters defaults to 1600 now).  A TS-VAD stuck on the
+    # plateau detects no speech, silently poisoning every downstream eval
+    # — fail HERE, not 20 minutes later in a degenerate comparison.
+    best = getattr(eg.trainer, 'best_validation_loss', None)
+    if best is not None and best > 0.35:
+        msg = (f'TS-VAD never escaped the conditioning plateau (best '
+               f'validation BCE {best:.3f} > 0.35 after {tsvad_iters} '
+               f'iterations); raise tsvad_iters or change the trainer '
+               f'seed. Downstream separation/eval would be meaningless.')
+        # Tiny smoke runs (CI / plumbing tests) are not expected to learn;
+        # only a realistic iteration budget makes the plateau an error.
+        if strict_comparison and tsvad_iters >= 400:
+            raise RuntimeError(msg)
+        print(f'WARNING: {msg}', file=sys.stderr)
 
     # 3. stage 2: TS-SEP, warm-started (activity head broadcast over freq)
     print('=== Stage 2: TS-SEP (warm start)')
