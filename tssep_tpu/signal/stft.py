@@ -311,7 +311,8 @@ class STFT:
         dtype = re.dtype
         w = self.synthesis_window
         total = (frames - 1) * self.shift + self.window_length
-        if self.window_length % self.shift == 0:
+        if (self.window_length % self.shift == 0
+                and _os.environ.get('TSSEP_ISTFT_PIECEWISE', '1') != '0'):
             # Piece-wise synthesis: never materialize the full
             # (..., frames, window_length) segment tensor — at flagship
             # train dims that tensor is (B, S, T, 1024) f32 = 2.5 GB and
