@@ -22,7 +22,7 @@ __all__ = ['main']
 
 
 def _config(work_dir, shards, stage, iters, batch, aux_size=64,
-            checkpoint=None):
+            checkpoint=None, explicit_vad=False):
     common = {
         'trainer': {
             'factory': 'tssep_tpu.train.trainer.Trainer',
@@ -65,9 +65,25 @@ def _config(work_dir, shards, stage, iters, batch, aux_size=64,
             'factory': 'tssep_tpu.tasks.losses.VADSigmoidBCE',
             'target': 'Vad'}
     else:
-        common['trainer']['model']['loss'] = {
-            'factory': 'tssep_tpu.tasks.losses.LogMAE',
-            'target': 'speaker_reverberation_early_ch0'}
+        if explicit_vad:
+            # The reference's joint head (net.py explicit_vad + loss.py
+            # SignalAndVADSigmoidBCE): channel 0 of the head is a TRAINED
+            # per-frame activity gate multiplied onto the mask.  Standalone
+            # TS-SEP then diarizes from a BCE-trained gate instead of
+            # mask statistics (the mask-derived activity tracks words, not
+            # turns — TPU_R5F/I sweeps).
+            common['trainer']['model']['mask_estimator']['explicit_vad'] \
+                = True
+            common['trainer']['model']['loss'] = {
+                'factory': 'tssep_tpu.tasks.losses.SignalAndVADSigmoidBCE',
+                'target': 'Vad',
+                'signal_loss': {
+                    'factory': 'tssep_tpu.tasks.losses.LogMAE',
+                    'target': 'speaker_reverberation_early_ch0'}}
+        else:
+            common['trainer']['model']['loss'] = {
+                'factory': 'tssep_tpu.tasks.losses.LogMAE',
+                'target': 'speaker_reverberation_early_ch0'}
         common['init_ckpt'] = {
             'factory': 'tssep_tpu.train.init_ckpt.InitCheckPointVAD2Sep',
             'init_ckpt': str(checkpoint)}
@@ -89,7 +105,8 @@ def _dump_stage_config(storage_dir, full_cfg):
 def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
          tsvad_iters=1600, tssep_iters=800, batch=8, aux_size=513,
          duration=5.0, num_channels=1, reverb_taps=0, speaker_pool=16,
-         strict_comparison=True, vocabulary=0, ctc_steps=900):
+         strict_comparison=True, vocabulary=0, ctc_steps=900,
+         explicit_vad=0):
     """``speaker_pool`` defaults to a CLOSED set of 16 voices shared by the
     train/validate/eval splits — the reference's enrolled-speaker condition
     (LibriCSS evaluates known, enrolled speakers).  The round-3 rehearsal
@@ -197,7 +214,7 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
     # 3. stage 2: TS-SEP, warm-started (activity head broadcast over freq)
     print('=== Stage 2: TS-SEP (warm start)')
     cfg = _config(work_dir, shards, 'tssep', tssep_iters, batch, aux_size,
-                  checkpoint=tsvad_ckpt)
+                  checkpoint=tsvad_ckpt, explicit_vad=bool(explicit_vad))
     full_cfg = Experiment.get_config(cfg)
     _dump_stage_config(work_dir / 'tssep', full_cfg)
     eg2 = from_config(full_cfg)
@@ -225,12 +242,18 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
     # silence floor), and dilate onsets/offsets the reference VAD includes
     # but the signal energy does not (tools/sweep_activity.py winner).
     sep_overrides = dict(overrides or {})
-    sep_overrides.setdefault('activity_stat', 'q98')
-    sep_overrides.setdefault('pad_frames', 8)
-    if overrides:
-        # Sweep winner (TPU_R5F): 2x the word-gap bridge — mask activity
-        # also gaps at soft word onsets/decays, not just scripted pauses.
-        sep_overrides['merge_gap_frames'] = 2 * overrides['merge_gap_frames']
+    if not explicit_vad:
+        # Mask-derived activity tracks words/signal energy, not turns:
+        # high freq-quantile statistic + onset/offset dilation + a wider
+        # gap bridge (2x: soft word onsets/decays gap too).  Sweep winner
+        # TPU_R5F/R5I.  With explicit_vad the activity is a BCE-TRAINED
+        # turn-level gate — none of this is needed (the TS-VAD eval uses
+        # the same plain setup at DER ~0.01).
+        sep_overrides.setdefault('activity_stat', 'q98')
+        sep_overrides.setdefault('pad_frames', 8)
+        if overrides:
+            sep_overrides['merge_gap_frames'] = \
+                2 * overrides['merge_gap_frames']
     sep_metrics = evaluate(eg2, beamform=False, transcriber=transcriber,
                            driver_overrides=sep_overrides)
     if num_channels >= 6:
