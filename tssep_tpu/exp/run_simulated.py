@@ -22,7 +22,7 @@ __all__ = ['main']
 
 
 def _config(work_dir, shards, stage, iters, batch, aux_size=64,
-            checkpoint=None, explicit_vad=False):
+            checkpoint=None, explicit_vad=False, vad_weight=1.0):
     common = {
         'trainer': {
             'factory': 'tssep_tpu.train.trainer.Trainer',
@@ -77,6 +77,7 @@ def _config(work_dir, shards, stage, iters, batch, aux_size=64,
             common['trainer']['model']['loss'] = {
                 'factory': 'tssep_tpu.tasks.losses.SignalAndVADSigmoidBCE',
                 'target': 'Vad',
+                'vad_weight': float(vad_weight),
                 'signal_loss': {
                     'factory': 'tssep_tpu.tasks.losses.LogMAE',
                     'target': 'speaker_reverberation_early_ch0'}}
@@ -106,7 +107,7 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
          tsvad_iters=1600, tssep_iters=800, batch=8, aux_size=513,
          duration=5.0, num_channels=1, reverb_taps=0, speaker_pool=16,
          strict_comparison=True, vocabulary=0, ctc_steps=900,
-         explicit_vad=0):
+         explicit_vad=0, vad_weight=1.0):
     """``speaker_pool`` defaults to a CLOSED set of 16 voices shared by the
     train/validate/eval splits — the reference's enrolled-speaker condition
     (LibriCSS evaluates known, enrolled speakers).  The round-3 rehearsal
@@ -214,7 +215,8 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
     # 3. stage 2: TS-SEP, warm-started (activity head broadcast over freq)
     print('=== Stage 2: TS-SEP (warm start)')
     cfg = _config(work_dir, shards, 'tssep', tssep_iters, batch, aux_size,
-                  checkpoint=tsvad_ckpt, explicit_vad=bool(explicit_vad))
+                  checkpoint=tsvad_ckpt, explicit_vad=bool(explicit_vad),
+                  vad_weight=vad_weight)
     full_cfg = Experiment.get_config(cfg)
     _dump_stage_config(work_dir / 'tssep', full_cfg)
     eg2 = from_config(full_cfg)
