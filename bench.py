@@ -116,9 +116,22 @@ def build(batch):
         keep = {'observation', 'auxInput', 'reference_channel'} | targets
         return {k: v for k, v in ex.items() if k in keep}
 
+    # TSSEP_BENCH_NO_AUX=1: differentiate the scalar loss WITHOUT the
+    # per-example-loss aux output.  The R5J/R5S stage ladders (which use
+    # exactly this form) measured the full step ~13% faster than the
+    # default; this knob isolates whether the aux output is the cause.
+    no_aux = os.environ.get('TSSEP_BENCH_NO_AUX', '0') != '0'
+
     def train_step(params, opt_state, batch_, key):
-        (loss, _aux), grads = jax.value_and_grad(
-            model.loss_fn, has_aux=True)(params, batch_, key, True)
+        if no_aux:
+            def scalar_loss(p):
+                out = model.forward(p, batch_, rng=key, training=True)
+                loss, _ = model.review_loss(batch_, out)
+                return loss
+            loss, grads = jax.value_and_grad(scalar_loss)(params)
+        else:
+            (loss, _aux), grads = jax.value_and_grad(
+                model.loss_fn, has_aux=True)(params, batch_, key, True)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss
