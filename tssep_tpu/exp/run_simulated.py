@@ -107,7 +107,7 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
          tsvad_iters=1600, tssep_iters=800, batch=8, aux_size=513,
          duration=5.0, num_channels=1, reverb_taps=0, speaker_pool=16,
          strict_comparison=True, vocabulary=0, ctc_steps=900,
-         explicit_vad=0, vad_weight=1.0):
+         explicit_vad=1, vad_weight=0.3):
     """``speaker_pool`` defaults to a CLOSED set of 16 voices shared by the
     train/validate/eval splits — the reference's enrolled-speaker condition
     (LibriCSS evaluates known, enrolled speakers).  The round-3 rehearsal
@@ -115,7 +115,15 @@ def main(work_dir='egs/simulated', train_examples=None, eval_examples=4,
     (train BCE 0.002 vs validation 1.407); see RESULTS.md.
 
     ``train_examples=None`` scales the corpus with the optimizer budget so
-    each meeting is seen at most ~25 times."""
+    each meeting is seen at most ~25 times.
+
+    ``explicit_vad=1, vad_weight=0.3`` (the default since TPU_R5T): the
+    TS-SEP stage trains the reference's joint head — channel 0 is a
+    BCE-trained activity gate (``SignalAndVADSigmoidBCE``), so ONE model
+    both diarizes (standalone held-out DER 0.005) and separates
+    (MVDR+postmask SI-SDR 7.03 dB — the best measured deployment).  A
+    heavier gate loss (vad_weight=1.0, TPU_R5Q) costs separation quality;
+    ``--explicit_vad=0`` restores the LogMAE-only stage-2 (TPU_R5N)."""
     # Numerics: the flagship recipe trains in the BENCH configuration
     # (bf16 compute chain + bf16 head, bench.py:42,49) so the headline
     # throughput and the headline end-metrics come from the same numerics
